@@ -1,0 +1,28 @@
+"""openset_imagenet_tpu — TPU-native open-set ImageNet framework.
+
+A ground-up JAX/XLA/Pallas/pjit re-design with the capabilities of
+AIML-IfI/openset-imagenet (WACV 2023, arXiv 2210.06789): WordNet-derived
+open-set protocols, a two-head ResNet-50 trained under three loss regimes
+(softmax / garbage / entropic open-set), on-device confidence validation,
+feature/score extraction, and the full OSCR evaluation + plotting stack.
+"""
+
+__version__ = "0.1.0"
+
+from . import config as util_config  # noqa: F401
+from .config import NameSpace, load_yaml  # noqa: F401
+from .dataset import ImagenetDataset  # noqa: F401
+from .models.resnet import ResNet50  # noqa: F401
+from .ops.losses import (  # noqa: F401
+    AverageMeter,
+    EarlyStopping,
+    entropic_openset_loss,
+    garbage_loss,
+    softmax_loss,
+)
+from .ops.metrics import confidence  # noqa: F401
+from .ops.oscr import calculate_oscr  # noqa: F401
+
+# Subpackages commonly used as `openset_imagenet_tpu.X`
+from . import dataset, logger  # noqa: F401
+from . import util  # noqa: F401

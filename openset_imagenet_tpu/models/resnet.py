@@ -1,0 +1,117 @@
+"""ResNet-50 with a two-head (deep-features + logits) output, in Flax.
+
+Functional parity with the reference model (``model.py:5-39``): a standard
+ResNet-50 backbone whose final fully-connected layer is replaced by
+``Linear(2048 -> fc_layer_dim)`` (the "deep features" head), followed by a
+second ``Linear(fc_layer_dim -> out_features, use_bias=logit_bias)`` logits
+head; ``__call__`` returns ``(logits, features)``.  Training uses
+``fc_layer_dim == out_features == n_classes`` and ``logit_bias=False``
+(reference ``train.py:350-353``).
+
+TPU-first design choices (deliberately NOT a torch translation):
+
+* **NHWC layout** — the native layout for TPU convolutions.
+* **bfloat16 compute, float32 parameters/statistics** — convolutions run on
+  the MXU in bf16; parameter updates and batch-norm statistics stay in f32.
+* **ResNet v1.5 bottleneck** (stride on the 3x3 convolution), matching the
+  torchvision architecture the reference instantiates, so checkpoints and
+  accuracy are comparable.
+* Under ``pjit`` with a batch-sharded input, the batch-norm reductions are
+  global-batch reductions — XLA inserts the cross-device collectives, which
+  supersedes both torch's per-device BN and SyncBN.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+ModuleDef = Any
+
+# Kaiming-normal fan-out (matches torch's conv init for ResNets).
+conv_kernel_init = nn.initializers.variance_scaling(
+    2.0, mode="fan_out", distribution="truncated_normal")
+# torch Linear default: kaiming-uniform(a=sqrt(5)) == U(±sqrt(1/fan_in)).
+dense_kernel_init = nn.initializers.variance_scaling(
+    1.0 / 3.0, mode="fan_in", distribution="uniform")
+
+
+class Bottleneck(nn.Module):
+    """ResNet v1.5 bottleneck block: 1x1 -> 3x3(stride) -> 1x1, expansion 4."""
+
+    filters: int
+    strides: int = 1
+    norm: ModuleDef = nn.BatchNorm
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        conv = partial(nn.Conv, use_bias=False, dtype=self.dtype,
+                       kernel_init=conv_kernel_init)
+        residual = x
+        y = conv(self.filters, (1, 1))(x)
+        y = self.norm()(y)
+        y = nn.relu(y)
+        y = conv(self.filters, (3, 3), strides=(self.strides, self.strides))(y)
+        y = self.norm()(y)
+        y = nn.relu(y)
+        y = conv(self.filters * 4, (1, 1))(y)
+        y = self.norm(scale_init=nn.initializers.zeros)(y)
+
+        if residual.shape != y.shape:
+            residual = conv(self.filters * 4, (1, 1),
+                            strides=(self.strides, self.strides),
+                            name="downsample_conv")(residual)
+            residual = self.norm(name="downsample_bn")(residual)
+
+        return nn.relu(y + residual)
+
+
+class ResNet50(nn.Module):
+    """Two-head ResNet-50.  ``__call__(images, train)`` -> ``(logits, features)``.
+
+    Args mirror the reference constructor (``model.py:8-27``):
+        fc_layer_dim: dimensionality of the deep-features head.
+        out_features: dimensionality of the logits head.
+        logit_bias: whether the logits layer has a bias term.
+    """
+
+    fc_layer_dim: int = 1000
+    out_features: int = 1000
+    logit_bias: bool = True
+    dtype: Any = jnp.bfloat16
+    stage_sizes: Sequence[int] = (3, 4, 6, 3)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        norm = partial(nn.BatchNorm, use_running_average=not train,
+                       momentum=0.9, epsilon=1e-5, dtype=self.dtype,
+                       param_dtype=jnp.float32)
+        x = x.astype(self.dtype)
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
+                    use_bias=False, dtype=self.dtype,
+                    kernel_init=conv_kernel_init, name="conv_init")(x)
+        x = norm(name="bn_init")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+
+        for i, block_count in enumerate(self.stage_sizes):
+            for j in range(block_count):
+                strides = 2 if i > 0 and j == 0 else 1
+                x = Bottleneck(filters=64 * 2 ** i, strides=strides,
+                               norm=norm, dtype=self.dtype,
+                               name=f"stage{i + 1}_block{j + 1}")(x)
+
+        # Global average pool -> deep features head -> logits head.
+        x = jnp.mean(x, axis=(1, 2))
+        features = nn.Dense(self.fc_layer_dim, dtype=self.dtype,
+                            param_dtype=jnp.float32,
+                            kernel_init=dense_kernel_init, name="fc")(x)
+        logits = nn.Dense(self.out_features, use_bias=self.logit_bias,
+                          dtype=self.dtype, param_dtype=jnp.float32,
+                          kernel_init=dense_kernel_init, name="logits")(features)
+        return logits.astype(jnp.float32), features.astype(jnp.float32)

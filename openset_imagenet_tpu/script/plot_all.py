@@ -1,0 +1,5 @@
+"""CLI stub — implemented later this round."""
+
+
+def main(argv=None):
+    raise NotImplementedError("openset_imagenet_tpu.script.plot_all: coming in this round")

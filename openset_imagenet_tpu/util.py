@@ -1,0 +1,107 @@
+"""Utility surface mirroring the reference ``openset_imagenet.util`` module.
+
+Re-exports the config layer (``NameSpace`` / ``load_yaml``), the OSCR
+computation, and hosts the offline analysis helpers (score-file loading,
+dataset info).  Plotting helpers live in :mod:`openset_imagenet_tpu.plots`
+and are re-exported here for API parity with reference ``util.py``.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+
+from .config import NameSpace, load_yaml  # noqa: F401  (parity re-export)
+from .ops.oscr import calculate_oscr, ccr_at_fpr  # noqa: F401
+
+
+def dataset_info(protocol_data_dir):
+    """Data frame with per-split known/negative/unknown composition.
+
+    Parity: reference ``util.py:38-66`` (reads ``train.csv``,
+    ``validation.csv``, ``test.csv`` in the given directory).
+    """
+    data_dir = Path(protocol_data_dir)
+    files = {"train": data_dir / "train.csv",
+             "val": data_dir / "validation.csv",
+             "test": data_dir / "test.csv"}
+    data = []
+    for split, path in files.items():
+        df = pd.read_csv(path, header=None)
+        size = len(df)
+        kn_size = int((df[1] >= 0).sum())
+        kn_unk_size = int((df[1] == -1).sum())
+        unk_unk_size = int((df[1] == -2).sum())
+        data.append((split, len(df[1].unique()), size,
+                     kn_size, 100 * kn_size / size,
+                     kn_unk_size, 100 * kn_unk_size / size,
+                     unk_unk_size, 100 * unk_unk_size / size))
+    return pd.DataFrame(data, columns=[
+        "split", "classes", "size", "kn size", "kn (%)", "kn_unk size",
+        "kn_unk (%)", "unk_unk size", "unk_unk (%)"])
+
+
+def read_array_list(file_names):
+    """Load saved ``.npz`` score archives into a dict keyed by name.
+
+    Parity: reference ``util.py:69-87`` — accepts either a dict
+    (``key -> path``) or a list of paths (key derived from the file name with
+    the trailing 8 characters stripped).
+    """
+    arrays = defaultdict(dict)
+    if isinstance(file_names, dict):
+        for key, file in file_names.items():
+            arrays[key] = np.load(file)
+    else:
+        for file in file_names:
+            file = str(file)
+            name = file.split("/")[-1][:-8]
+            arrays[name] = np.load(file)
+    return arrays
+
+
+def get_best_arrays(files_dict):
+    """Map ``*_curr_*`` score paths to their ``*_best_*`` counterparts.
+
+    Parity: reference ``util.py:231-240``.
+    """
+    best_paths = dict()
+    for name, path in files_dict.items():
+        best_paths[name] = Path(str(path).replace("_curr_", "_best_"))
+    return best_paths
+
+
+def get_histogram(array, unk_label=-1, metric="score", bins=100,
+                  drop_bg=False, log_space=False, geomspace_limits=(1, 1e2)):
+    """Histograms of known vs unknown scores or feature norms.
+
+    Parity: reference ``util.py:202-228``: for ``metric='score'`` knowns use
+    the true-class score and unknowns the max score; for ``metric='norm'``
+    both use the L2 feature norm.  ``drop_bg`` removes the background column
+    for garbage models first.
+    """
+    score = array["scores"]
+    if drop_bg:
+        score = score[:, :-1]
+    gt = array["gt"].astype(np.int64)
+    features = array["features"]
+    norms = np.linalg.norm(features, axis=1)
+    kn = gt >= 0
+    unk = gt == unk_label
+    if metric == "score":
+        kn_metric = score[kn, gt[kn]]
+        unk_metric = np.amax(score[unk], axis=1)
+    elif metric == "norm":
+        kn_metric = norms[kn]
+        unk_metric = norms[unk]
+    else:
+        raise ValueError(f"unknown metric {metric!r}")
+    if log_space:
+        lower, upper = geomspace_limits
+        bins = np.geomspace(lower, upper, num=bins)
+    kn_hist, kn_edges = np.histogram(kn_metric, bins=bins)
+    unk_hist, unk_edges = np.histogram(unk_metric, bins=bins)
+    return kn_hist, kn_edges, unk_hist, unk_edges

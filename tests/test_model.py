@@ -1,0 +1,80 @@
+"""ResNet-50 model tests: shapes, two-head contract, parameter count parity
+with the torchvision model the reference builds (reference model.py:5-39)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from openset_imagenet_tpu.models.resnet import ResNet50
+
+
+def _init(model, shape=(2, 64, 64, 3)):
+    x = jnp.zeros(shape, jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    return variables, x
+
+
+def test_forward_returns_logits_and_features():
+    model = ResNet50(fc_layer_dim=16, out_features=16, logit_bias=False)
+    variables, x = _init(model)
+    logits, features = model.apply(variables, x, train=False)
+    assert logits.shape == (2, 16)
+    assert features.shape == (2, 16)
+    assert logits.dtype == jnp.float32
+
+
+def test_train_mode_updates_batch_stats():
+    model = ResNet50(fc_layer_dim=8, out_features=8, logit_bias=False)
+    variables, x = _init(model)
+    x = jax.random.normal(jax.random.PRNGKey(1), x.shape)
+    (logits, _), new_state = model.apply(
+        variables, x, train=True, mutable=["batch_stats"])
+    old = jax.tree_util.tree_leaves(variables["batch_stats"])
+    new = jax.tree_util.tree_leaves(new_state["batch_stats"])
+    changed = any(not np.allclose(a, b) for a, b in zip(old, new))
+    assert changed
+
+
+def _param_count(params):
+    return sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
+
+
+def test_param_count_matches_torchvision_formula():
+    """torchvision resnet50 with fc untouched has 25,557,032 params
+    (23,508,032 backbone + 2048*1000+1000 fc).  The reference replaces fc by
+    Linear(2048, D) and adds Linear(D, K, bias=False)."""
+    D = K = 116  # protocol-1 entropic class count
+    model = ResNet50(fc_layer_dim=D, out_features=K, logit_bias=False)
+    variables, _ = _init(model, (1, 32, 32, 3))
+    n = _param_count(variables["params"])
+    backbone_with_fc = 23508032 + (2048 * D + D)
+    expected = backbone_with_fc + D * K
+    assert n == expected
+
+
+def test_logit_bias_flag():
+    m1 = ResNet50(fc_layer_dim=8, out_features=8, logit_bias=True)
+    m2 = ResNet50(fc_layer_dim=8, out_features=8, logit_bias=False)
+    v1, _ = _init(m1, (1, 32, 32, 3))
+    v2, _ = _init(m2, (1, 32, 32, 3))
+    assert "bias" in v1["params"]["logits"]
+    assert "bias" not in v2["params"]["logits"]
+
+
+def test_stride_reduction_structure():
+    """Input 224 -> 7x7 feature map before the global pool (stride 32)."""
+    model = ResNet50(fc_layer_dim=4, out_features=4)
+    x = jnp.zeros((1, 224, 224, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    # count batch_stats collections: 53 BN layers in resnet50
+    bn_leaves = jax.tree_util.tree_leaves(variables["batch_stats"])
+    assert len(bn_leaves) == 53 * 2  # mean + var each
+
+
+@pytest.mark.parametrize("dtype", [jnp.bfloat16, jnp.float32])
+def test_compute_dtype(dtype):
+    model = ResNet50(fc_layer_dim=4, out_features=4, dtype=dtype)
+    variables, x = _init(model, (1, 32, 32, 3))
+    logits, feats = model.apply(variables, x, train=False)
+    assert logits.dtype == jnp.float32  # heads always return f32

@@ -1,0 +1,75 @@
+"""OSCR tests: the O(N log N) implementation must equal the reference's
+O(U*N) loop exactly (reference util.py:90-122), plus table-lookup checks."""
+
+import numpy as np
+import pytest
+
+from openset_imagenet_tpu.ops.oscr import (
+    calculate_oscr,
+    calculate_oscr_reference,
+    ccr_at_fpr,
+)
+
+
+def _scores(rng, n, c):
+    z = rng.normal(size=(n, c))
+    e = np.exp(z - z.max(axis=1, keepdims=True))
+    return e / e.sum(axis=1, keepdims=True)
+
+
+@pytest.mark.parametrize("unk_label", [-1, -2])
+@pytest.mark.parametrize("seed", [0, 1])
+def test_fast_oscr_equals_reference_loop(seed, unk_label):
+    rng = np.random.default_rng(seed)
+    n, c = 300, 10
+    scores = _scores(rng, n, c)
+    gt = rng.integers(-2, c, size=n)
+    ccr_f, fpr_f = calculate_oscr(gt, scores, unk_label)
+    ccr_r, fpr_r = calculate_oscr_reference(gt, scores, unk_label)
+    np.testing.assert_array_equal(ccr_f, ccr_r)
+    np.testing.assert_array_equal(fpr_f, fpr_r)
+
+
+def test_oscr_with_duplicate_scores():
+    """Ties in target scores must be handled identically to the loop."""
+    gt = np.array([0, 1, 0, 1, -1, -1, -2])
+    scores = np.array([
+        [0.9, 0.1], [0.2, 0.8], [0.9, 0.1], [0.8, 0.2],
+        [0.6, 0.4], [0.4, 0.6], [0.9, 0.1]])
+    for unk in (-1, -2):
+        f = calculate_oscr(gt, scores, unk)
+        r = calculate_oscr_reference(gt, scores, unk)
+        np.testing.assert_array_equal(f[0], r[0])
+        np.testing.assert_array_equal(f[1], r[1])
+
+
+def test_oscr_perfect_separation():
+    """A perfectly separable model: CCR stays 1 while FPR drops to 0."""
+    gt = np.array([0, 1, -1, -1])
+    scores = np.array([[0.99, 0.01], [0.05, 0.95], [0.51, 0.49], [0.5, 0.5]])
+    ccr, fpr = calculate_oscr(gt, scores, unk_label=-1)
+    # thresholds: unique([0.99, 0.95])[:-1] == [0.95]
+    assert len(ccr) == 1
+    assert ccr[0] == 0.5  # only the 0.99 sample is above 0.95
+    assert fpr[0] == 0.0
+
+
+def test_ccr_at_fpr_nearest_lookup():
+    fpr = np.array([1.0, 0.5, 0.1, 0.01, 0.001])
+    ccr = np.array([0.9, 0.8, 0.7, 0.6, 0.5])
+    assert ccr_at_fpr(ccr, fpr, 0.01) == 0.6
+    assert ccr_at_fpr(ccr, fpr, 1.0) == 0.9
+    # nearest to 3e-3 is 1e-3 with ~67% error -> "---"
+    assert ccr_at_fpr(ccr, fpr, 3e-3) is None
+
+
+def test_bg_column_drop_changes_result():
+    """Garbage models drop the background column before OSCR
+    (reference util.py:186-188)."""
+    rng = np.random.default_rng(5)
+    scores = _scores(rng, 100, 6)
+    gt = rng.integers(-2, 5, size=100)
+    full = calculate_oscr(gt, scores, -1)
+    dropped = calculate_oscr(gt, scores[:, :-1], -1)
+    assert (len(full[0]) != len(dropped[0])
+            or not np.array_equal(full[0], dropped[0]))
