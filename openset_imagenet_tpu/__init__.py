@@ -9,6 +9,15 @@ feature/score extraction, and the full OSCR evaluation + plotting stack.
 
 __version__ = "0.1.0"
 
+# Optional platform override (e.g. OSI_JAX_PLATFORM=cpu for CI/verification
+# on hosts where a site hook pins another platform before user code runs).
+import os as _os
+
+if _os.environ.get("OSI_JAX_PLATFORM"):
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["OSI_JAX_PLATFORM"])
+
 from . import config as util_config  # noqa: F401
 from .config import NameSpace, load_yaml  # noqa: F401
 from .dataset import ImagenetDataset  # noqa: F401

@@ -1,0 +1,107 @@
+"""Checkpoint save/load with the reference's ``_curr``/``_best`` contract.
+
+Parity with reference ``train.py:37-101``: every epoch writes
+``<name>_curr.pth``; a validation-score improvement writes
+``<name>_best.pth``.  The payload carries ``epoch`` (stored as ``epoch + 1``
+so it doubles as the resume start epoch), model state, optimizer state and
+``best_score``; ``finetune`` mode restores weights only and resets
+optimizer/score (reference ``train.py:374-380``).
+
+Format: a msgpack blob (flax serialization) of numpy-ified pytrees — fully
+host-side, safe to write from a TPU run, no pickle of arbitrary code.  The
+``.pth`` extension is kept so the reference's file-naming workflow (sweep
+``--continue`` probing for ``{loss}_curr.pth``, reference
+``script/train_all.py:85-88``) transfers unchanged.
+
+Sharded-state note: states produced under a mesh are fully replicated
+(pure DP), so ``np.asarray`` per leaf is exact; loading re-places leaves via
+the caller's sharding when training resumes.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Optional, Tuple
+
+import jax
+import numpy as np
+from flax import serialization
+
+
+def _to_numpy(tree: Any) -> Any:
+    """Flatten any pytree (incl. optax namedtuple states) to a dict of numpy."""
+    return jax.tree.map(lambda x: np.asarray(x),
+                        serialization.to_state_dict(tree))
+
+
+def save_checkpoint(f_name, state, epoch: int, best_score: float,
+                    extra: Optional[dict] = None) -> None:
+    """Write a checkpoint file.
+
+    Args:
+        f_name: output path (``<name>_{curr,best}.pth``).
+        state: a :class:`~openset_imagenet_tpu.train.TrainState` (or any
+            object with ``params`` / ``batch_stats`` / ``opt_state`` /
+            ``step`` attributes).
+        epoch: the epoch that just finished (stored as ``epoch + 1``,
+            reference ``train.py:55``).
+        best_score: current best validation γ score.
+        extra: optional additional host-side metadata (must be
+            msgpack-serialisable).
+    """
+    payload = {
+        "epoch": int(epoch) + 1,
+        "step": int(state.step),
+        "model_state_dict": _to_numpy(state.params),
+        "batch_stats": _to_numpy(state.batch_stats),
+        "opt_state_dict": _to_numpy(state.opt_state),
+        "best_score": float(best_score),
+    }
+    if extra:
+        payload["extra"] = extra
+    blob = serialization.msgpack_serialize(payload)
+    f_name = Path(f_name)
+    f_name.parent.mkdir(parents=True, exist_ok=True)
+    tmp = f_name.with_suffix(f_name.suffix + ".tmp")
+    with open(tmp, "wb") as f:
+        f.write(blob)
+    tmp.replace(f_name)  # atomic: a crash never corrupts _curr.pth
+
+
+def load_checkpoint(checkpoint, state, restore_opt: bool = True
+                    ) -> Tuple[Any, int, float]:
+    """Load a checkpoint into ``state``; returns ``(state, start_epoch, best)``.
+
+    ``restore_opt=False`` implements finetune mode (weights + batch stats
+    only; optimizer state, step and best score reset — reference
+    ``train.py:374-380``).  Raises if the file does not exist (reference
+    ``train.py:100-101``).
+    """
+    file_path = Path(checkpoint)
+    if not file_path.is_file():
+        raise FileNotFoundError(f"Checkpoint file '{checkpoint}' not found")
+    with open(file_path, "rb") as f:
+        payload = serialization.msgpack_restore(f.read())
+
+    params = serialization.from_state_dict(state.params,
+                                           payload["model_state_dict"])
+    batch_stats = serialization.from_state_dict(state.batch_stats,
+                                                payload["batch_stats"])
+    if restore_opt:
+        opt_state = serialization.from_state_dict(state.opt_state,
+                                                  payload["opt_state_dict"])
+        new_state = state.replace(params=params, batch_stats=batch_stats,
+                                  opt_state=opt_state,
+                                  step=int(payload.get("step", 0)))
+        return new_state, int(payload["epoch"]), float(payload["best_score"])
+    new_state = state.replace(params=params, batch_stats=batch_stats)
+    return new_state, int(payload["epoch"]), 0.0
+
+
+def read_metadata(checkpoint) -> dict:
+    """Read only ``{epoch, best_score}`` (the plot layer's use, reference
+    ``script/plot_all.py:140-141``) without materialising the weights."""
+    with open(checkpoint, "rb") as f:
+        payload = serialization.msgpack_restore(f.read())
+    return {"epoch": int(payload["epoch"]),
+            "best_score": float(payload["best_score"])}

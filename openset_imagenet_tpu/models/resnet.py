@@ -39,6 +39,36 @@ dense_kernel_init = nn.initializers.variance_scaling(
     1.0 / 3.0, mode="fan_in", distribution="uniform")
 
 
+class BasicBlock(nn.Module):
+    """ResNet basic block (3x3 -> 3x3, expansion 1) for the 18/34 variants."""
+
+    filters: int
+    strides: int = 1
+    norm: ModuleDef = nn.BatchNorm
+    dtype: Any = jnp.bfloat16
+    expansion: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        conv = partial(nn.Conv, use_bias=False, dtype=self.dtype,
+                       kernel_init=conv_kernel_init)
+        residual = x
+        y = conv(self.filters, (3, 3),
+                 strides=(self.strides, self.strides))(x)
+        y = self.norm()(y)
+        y = nn.relu(y)
+        y = conv(self.filters, (3, 3))(y)
+        y = self.norm(scale_init=nn.initializers.zeros)(y)
+
+        if residual.shape != y.shape:
+            residual = conv(self.filters, (1, 1),
+                            strides=(self.strides, self.strides),
+                            name="downsample_conv")(residual)
+            residual = self.norm(name="downsample_bn")(residual)
+
+        return nn.relu(y + residual)
+
+
 class Bottleneck(nn.Module):
     """ResNet v1.5 bottleneck block: 1x1 -> 3x3(stride) -> 1x1, expansion 4."""
 
@@ -84,6 +114,8 @@ class ResNet50(nn.Module):
     logit_bias: bool = True
     dtype: Any = jnp.bfloat16
     stage_sizes: Sequence[int] = (3, 4, 6, 3)
+    block: ModuleDef = None  # None -> Bottleneck
+    width: int = 64  # filters of the first stage
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True
@@ -92,19 +124,21 @@ class ResNet50(nn.Module):
                        momentum=0.9, epsilon=1e-5, dtype=self.dtype,
                        param_dtype=jnp.float32)
         x = x.astype(self.dtype)
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
+        x = nn.Conv(self.width, (7, 7), strides=(2, 2),
+                    padding=[(3, 3), (3, 3)],
                     use_bias=False, dtype=self.dtype,
                     kernel_init=conv_kernel_init, name="conv_init")(x)
         x = norm(name="bn_init")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
+        block_cls = self.block if self.block is not None else Bottleneck
         for i, block_count in enumerate(self.stage_sizes):
             for j in range(block_count):
                 strides = 2 if i > 0 and j == 0 else 1
-                x = Bottleneck(filters=64 * 2 ** i, strides=strides,
-                               norm=norm, dtype=self.dtype,
-                               name=f"stage{i + 1}_block{j + 1}")(x)
+                x = block_cls(filters=self.width * 2 ** i, strides=strides,
+                              norm=norm, dtype=self.dtype,
+                              name=f"stage{i + 1}_block{j + 1}")(x)
 
         # Global average pool -> deep features head -> logits head.
         x = jnp.mean(x, axis=(1, 2))
@@ -115,3 +149,31 @@ class ResNet50(nn.Module):
                           dtype=self.dtype, param_dtype=jnp.float32,
                           kernel_init=dense_kernel_init, name="logits")(features)
         return logits.astype(jnp.float32), features.astype(jnp.float32)
+
+
+# Variant registry: stage layout + block per torchvision naming.  The
+# reference only instantiates ResNet-50 (reference ``model.py:11``); the other
+# depths are capability extensions sharing the same two-head contract.
+_VARIANTS = {
+    "resnet18": dict(stage_sizes=(2, 2, 2, 2), block=BasicBlock),
+    "resnet34": dict(stage_sizes=(3, 4, 6, 3), block=BasicBlock),
+    "resnet50": dict(stage_sizes=(3, 4, 6, 3), block=Bottleneck),
+    "resnet101": dict(stage_sizes=(3, 4, 23, 3), block=Bottleneck),
+    "resnet152": dict(stage_sizes=(3, 8, 36, 3), block=Bottleneck),
+    # Tiny variant for tests/CI: one block per stage, narrow.
+    "tiny": dict(stage_sizes=(1, 1, 1, 1), block=BasicBlock, width=8),
+}
+
+
+def build_resnet(variant: str = "resnet50", *, fc_layer_dim: int,
+                 out_features: int, logit_bias: bool = False,
+                 dtype: Any = jnp.bfloat16) -> ResNet50:
+    """Construct a two-head ResNet by variant name."""
+    if variant not in _VARIANTS:
+        raise ValueError(
+            f"unknown variant {variant!r}; choose from {sorted(_VARIANTS)}")
+    spec = _VARIANTS[variant]
+    return ResNet50(fc_layer_dim=fc_layer_dim, out_features=out_features,
+                    logit_bias=logit_bias, dtype=dtype,
+                    stage_sizes=spec["stage_sizes"], block=spec["block"],
+                    width=spec.get("width", 64))

@@ -1,0 +1,66 @@
+"""Device mesh + sharding utilities — the framework's DP/NCCL equivalent.
+
+The reference gestures at data parallelism (vestigial DDP import and a dead
+``dist:`` config block, reference ``train.py:10``, ``config/train.yaml:35-39``)
+but never implements it; its real scaling unit is one-process-per-GPU
+experiment parallelism (``script/train_all.py:95-118``).  Here data
+parallelism is a first-class citizen: a 1-D ``data`` mesh over all local
+devices, ``NamedSharding`` annotations on batches, replicated parameters,
+and XLA-inserted gradient ``psum`` over ICI inside the jitted train step.
+
+ResNet-50 at these scales needs no tensor/pipeline parallelism (SURVEY.md §2:
+"do not invent them"), but the mesh helpers accept an optional ``model`` axis
+so wider topologies remain expressible.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(num_devices: Optional[int] = None,
+              axis_names: Sequence[str] = ("data",),
+              devices=None) -> Mesh:
+    """1-D (default) device mesh over the first ``num_devices`` devices.
+
+    With ``axis_names=('data', 'model')`` the devices are reshaped
+    ``(num/model, model)``; the default is pure data parallelism.
+    """
+    if devices is None:
+        devices = jax.devices()
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    devs = np.asarray(devices)
+    if len(axis_names) == 1:
+        return Mesh(devs, axis_names)
+    # Fold extra axes of size 1 unless the caller reshaped already.
+    shape = (len(devs) // np.prod([1]),) + (1,) * (len(axis_names) - 1)
+    return Mesh(devs.reshape(shape), axis_names)
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Shard dim 0 over the data axis, replicate the rest (any rank)."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    """Fully replicated sharding (parameters, optimizer state)."""
+    return NamedSharding(mesh, P())
+
+
+def shard_batch_size(global_batch: int, mesh: Mesh, axis: str = "data"
+                     ) -> int:
+    """Validate that the global batch divides the data axis; return it."""
+    n = mesh.shape[axis]
+    if global_batch % n:
+        raise ValueError(
+            f"global batch {global_batch} not divisible by |{axis}| = {n}")
+    return global_batch
+
+
+def local_device_count() -> int:
+    return jax.local_device_count()

@@ -1,0 +1,237 @@
+"""TPU input pipeline: threaded host decode feeding prefetched device batches.
+
+This replaces the reference's ``torch.utils.data.DataLoader(num_workers=N,
+pin_memory=True)`` (reference ``train.py:299-311``) with a TPU-appropriate
+design:
+
+* **Threaded decode pool** — JPEG decode and the geometric transforms
+  release the GIL inside PIL's C core, so threads (not processes) saturate
+  host CPUs without pickling/IPC overhead.
+* **Static shapes** — every batch is padded to exactly ``batch_size`` and
+  carries a ``mask``; jit never sees a ragged shape, so there is exactly one
+  compilation.  Losses/metrics are mask-aware (see ``ops/``), which makes the
+  padded rows exact no-ops (SURVEY.md §7 hard part (c)).
+* **uint8 host->device transfer** — images cross PCIe as ``uint8`` and are
+  converted to ``bfloat16 [0, 1]`` on device inside the jitted step
+  (4x less transfer than float32).
+* **Sharded device_put** — batches are placed directly with a
+  ``NamedSharding`` over the ``data`` mesh axis; with multiple hosts each
+  process decodes only its own shard of the index space.
+* **Bounded lookahead** — a producer thread keeps ``prefetch`` batches in
+  flight; ``jax.device_put`` is async so the H2D copy of batch k+1 overlaps
+  the compute of batch k (replaces ``pin_memory``).
+
+Order/shuffle parity: the reference shuffles the train set each epoch and
+iterates val in order (``train.py:299-311``).  Shuffling here is a
+``(seed, epoch)``-keyed permutation, reproducible across runs and resumes.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Callable, Iterator, NamedTuple, Optional
+
+import numpy as np
+
+from . import transforms as T
+
+
+class Batch(NamedTuple):
+    """One device batch: uint8 images, int32 labels, float32 validity mask."""
+
+    images: object  # [B, H, W, 3] uint8 (jax.Array once on device)
+    labels: object  # [B] int32
+    mask: object    # [B] float32; 0.0 rows are padding
+
+
+class PILReader:
+    """Default sample reader: JPEG file -> transformed uint8 crop.
+
+    ``rng=None`` selects the eval transform (center crop); otherwise the
+    train transform (random crop + flip) driven by the given generator.
+    """
+
+    def __init__(self, crop: int = 224, resize: int = 256):
+        self.crop = crop
+        self.resize = resize
+
+    def __call__(self, path, rng) -> np.ndarray:
+        img = T.decode_image(path)
+        if rng is None:
+            return T.eval_transform(img, self.crop, self.resize)
+        return T.train_transform(img, rng, self.crop, self.resize)
+
+
+class SyntheticReader:
+    """Deterministic noise reader for tests and device-throughput benches."""
+
+    def __init__(self, crop: int = 224, seed: int = 0):
+        self.crop = crop
+        self.seed = seed
+        self._cache = {}
+
+    def __call__(self, path, rng) -> np.ndarray:
+        key = hash(path) % 64  # small pool: decode cost ~0, realistic bytes
+        if key not in self._cache:
+            self._cache[key] = T.synthetic_image(
+                key, size=(self.crop, self.crop), seed=self.seed)
+        return self._cache[key]
+
+
+class InputPipeline:
+    """Iterable over device-resident, statically-shaped, masked batches.
+
+    Args:
+        paths: array/list of absolute sample paths (or arbitrary tokens for
+            synthetic readers).
+        labels: int array of the same length.
+        batch_size: global batch size (padded, never ragged).
+        is_training: shuffle each epoch + random augmentation when True.
+        seed: base seed for shuffle/augmentation streams.
+        num_workers: decode threads (reference default 4,
+            ``config/train.yaml:20``; more is usually better on TPU hosts).
+        reader: ``reader(path, rng_or_None) -> uint8 [H, W, 3]``.
+        sharding: optional ``jax.sharding.Sharding`` for direct sharded
+            placement; None keeps batches as host numpy (tests).
+        prefetch: batches kept in flight ahead of the consumer.
+        process_index / process_count: multi-host data sharding — each
+            process reads ``indices[process_index::process_count]``.
+    """
+
+    def __init__(self, paths, labels, batch_size: int, is_training: bool,
+                 seed: int = 42, num_workers: int = 16,
+                 reader: Optional[Callable] = None, sharding=None,
+                 prefetch: int = 2, drop_remainder: bool = False,
+                 process_index: int = 0, process_count: int = 1):
+        self.paths = np.asarray(paths, dtype=object)
+        self.labels = np.asarray(labels, dtype=np.int32)
+        if len(self.paths) != len(self.labels):
+            raise ValueError("paths and labels length mismatch")
+        self.batch_size = int(batch_size)
+        self.is_training = bool(is_training)
+        self.seed = int(seed)
+        self.num_workers = int(num_workers)
+        self.reader = reader if reader is not None else PILReader()
+        self.sharding = sharding
+        self.prefetch = max(1, int(prefetch))
+        self.drop_remainder = bool(drop_remainder)
+        self.process_index = process_index
+        self.process_count = process_count
+        self._pool = ThreadPoolExecutor(
+            max_workers=self.num_workers,
+            thread_name_prefix="osi-decode")
+
+    # -- sizing ------------------------------------------------------------
+    @property
+    def num_samples(self) -> int:
+        n = len(self.paths)
+        per_proc = n // self.process_count
+        rem = n % self.process_count
+        return per_proc + (1 if self.process_index < rem else 0)
+
+    def __len__(self) -> int:
+        """Batches per epoch."""
+        n = self.num_samples
+        if self.drop_remainder:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    # -- epoch iteration ----------------------------------------------------
+    def _epoch_order(self, epoch: int) -> np.ndarray:
+        n = len(self.paths)
+        if self.is_training:
+            order = T.philox(self.seed, epoch, 0, 2).permutation(n)
+        else:
+            order = np.arange(n)
+        return order[self.process_index::self.process_count]
+
+    def _load(self, index: int, epoch: int) -> np.ndarray:
+        rng = (T.sample_rng(self.seed, epoch, int(index))
+               if self.is_training else None)
+        return self.reader(self.paths[index], rng)
+
+    def epoch(self, epoch: int = 0) -> Iterator[Batch]:
+        """Yield all batches of one epoch, prefetched onto device."""
+        order = self._epoch_order(epoch)
+        nb = len(self)
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def produce():
+            try:
+                # Keep up to prefetch+1 batches of item-futures in flight.
+                window = []
+                b = 0
+                submitted = 0
+                while b < nb and not stop.is_set():
+                    while submitted < min(nb, b + self.prefetch + 1):
+                        lo = submitted * self.batch_size
+                        idxs = order[lo:lo + self.batch_size]
+                        futs = [self._pool.submit(self._load, i, epoch)
+                                for i in idxs]
+                        window.append((idxs, futs))
+                        submitted += 1
+                    idxs, futs = window.pop(0)
+                    imgs = [f.result() for f in futs]
+                    out_q.put(self._assemble(idxs, imgs))
+                    b += 1
+                out_q.put(None)
+            except BaseException as exc:  # surface worker errors to consumer
+                out_q.put(exc)
+
+        producer = threading.Thread(target=produce, daemon=True)
+        producer.start()
+        try:
+            while True:
+                item = out_q.get()
+                if item is None:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+            # Drain so the producer can exit promptly.
+            while producer.is_alive():
+                try:
+                    out_q.get_nowait()
+                except queue.Empty:
+                    producer.join(timeout=0.1)
+
+    # -- batch assembly -----------------------------------------------------
+    def _assemble(self, idxs: np.ndarray, imgs) -> Batch:
+        n = len(idxs)
+        bs = self.batch_size
+        images = np.stack(imgs)
+        labels = self.labels[idxs]
+        mask = np.ones(n, dtype=np.float32)
+        if n < bs:  # pad final ragged batch to the static shape
+            pad = bs - n
+            images = np.concatenate(
+                [images, np.zeros((pad, *images.shape[1:]), images.dtype)])
+            labels = np.concatenate(
+                [labels, np.zeros(pad, labels.dtype)])
+            mask = np.concatenate([mask, np.zeros(pad, np.float32)])
+        batch = Batch(images=images, labels=labels, mask=mask)
+        if self.sharding is not None:
+            import jax
+            batch = Batch(*(jax.device_put(x, self.sharding) for x in batch))
+        return batch
+
+    def close(self):
+        self._pool.shutdown(wait=False, cancel_futures=True)
+
+
+def pipeline_from_dataset(dataset, batch_size: int, is_training: bool,
+                          **kwargs) -> InputPipeline:
+    """Build a pipeline from an :class:`ImagenetDataset` index.
+
+    Joins the dataset's relative paths with its ``imagenet_path`` root
+    (reference ``dataset.py:46``).
+    """
+    root = dataset.imagenet_path
+    paths = [str(root / p) for p in dataset.paths]
+    return InputPipeline(paths, dataset.labels, batch_size, is_training,
+                         **kwargs)

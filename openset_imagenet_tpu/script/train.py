@@ -1,5 +1,55 @@
-"""CLI stub — implemented later this round."""
+"""``train_imagenet`` CLI: train one (protocol, loss) run.
+
+Parity with reference ``script/train.py:8-67``: positional YAML config +
+protocol, ``-o/--output-directory``, ``-g/--gpu`` (accepted; device placement
+actually comes from the JAX mesh), ``--nice`` process priority; the CLI
+overlays those fields onto the loaded config and calls the engine worker.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import pathlib
+
+from ..config import load_yaml
+from ..train import worker
+
+
+def get_args(argv=None):
+    parser = argparse.ArgumentParser(
+        "train_imagenet",
+        description="Train an open-set ImageNet model (TPU-native)")
+    parser.add_argument("configuration", type=pathlib.Path,
+                        help="Filename of the training configuration (YAML)")
+    parser.add_argument("protocol", type=int, choices=(1, 2, 3),
+                        help="Open-set protocol: 1, 2 or 3")
+    parser.add_argument("-o", "--output-directory", default="experiments",
+                        type=pathlib.Path,
+                        help="Directory for trained models and logs")
+    parser.add_argument("-g", "--gpu", type=int, nargs="?", default=None,
+                        const=0,
+                        help="Accepted for reference-CLI compatibility; "
+                             "JAX selects devices via the mesh")
+    parser.add_argument("--nice", type=int, default=20,
+                        help="Process niceness (os.nice)")
+    return parser.parse_args(argv)
 
 
 def main(argv=None):
-    raise NotImplementedError("openset_imagenet_tpu.script.train: coming in this round")
+    args = get_args(argv)
+    try:
+        os.nice(args.nice - 20)
+    except (OSError, AttributeError):
+        pass
+    cfg = load_yaml(args.configuration)
+    if args.gpu is not None:
+        cfg.gpu = args.gpu
+    cfg.protocol = args.protocol
+    cfg.output_directory = args.output_directory
+    cfg.output_directory.mkdir(parents=True, exist_ok=True)
+    worker(cfg)
+
+
+if __name__ == "__main__":
+    main()

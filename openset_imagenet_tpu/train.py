@@ -1,0 +1,486 @@
+"""TPU-native training engine: jitted steps, mesh DP, γ model selection.
+
+Re-design of the reference training layer (``train.py:104-482``) for
+JAX/XLA on TPU.  Semantics preserved (SURVEY.md C9):
+
+* per-loss label surgery and ``n_classes`` rules (reference
+  ``train.py:287-293, 330-347``),
+* Adam / SGD(momentum=0.9) with optional StepLR decay
+  (``train.py:356-369``),
+* validation γ = conf_kn + conf_unk model selection (``train.py:433``),
+* ``_curr``/``_best`` checkpoints with resume + finetune (``train.py:37-101,
+  372-388, 462-471``),
+* tensorboard scalars ``train/loss, val/loss, val/conf_kn, val/conf_unk``
+  (``train.py:440-444``) plus a CSV sidecar.
+
+TPU-first mechanics (deliberately different from the reference):
+
+* One jit-compiled train step (forward + loss + backward + optimizer) with
+  **donated state** — parameters update in place in HBM, no reallocation.
+* **bfloat16 compute** on the MXU; float32 master params and BN statistics.
+* **Data parallelism over a device mesh**: batches arrive sharded over the
+  ``data`` axis, parameters are replicated; XLA inserts the gradient
+  all-reduce (``psum``) over ICI automatically.  This is the framework's
+  DDP/NCCL equivalent (the reference's DDP is vestigial, SURVEY.md §2).
+* **Static shapes everywhere**: ragged final batches are padded + masked
+  (mask-aware losses/metrics make padding an exact no-op), so each of
+  train/eval compiles exactly once.
+* **Async metric accumulation**: per-step scalars stay on device and are
+  reduced lazily; the host never blocks inside the hot loop.
+* Validation accumulates confidence *sums* on device instead of
+  materialising the full ``[N, C]`` score matrix (reference
+  ``train.py:167-185``) — identical averages, O(1) memory.
+"""
+
+from __future__ import annotations
+
+import pathlib
+import random
+import time
+from collections import defaultdict
+from functools import partial
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from .checkpoint import load_checkpoint, save_checkpoint
+from .dataset import ImagenetDataset
+from .events import SummaryWriter
+from .logger import configure_logger
+from .models.resnet import ResNet50, build_resnet
+from .ops.losses import (AverageMeter, EarlyStopping, entropic_openset_loss,
+                         garbage_loss, softmax_loss)
+from .ops.metrics import confidence_sums, loss_regime_params
+from .parallel.mesh import batch_sharding, make_mesh, replicated
+from .pipeline import InputPipeline, PILReader, SyntheticReader, \
+    pipeline_from_dataset
+
+
+# --------------------------------------------------------------------------
+# Seeding (reference train.py:23-31)
+# --------------------------------------------------------------------------
+
+def set_seeds(seed: int) -> jax.Array:
+    """Seed host RNGs and return the root JAX PRNG key."""
+    random.seed(seed)
+    np.random.seed(seed)
+    return jax.random.PRNGKey(seed)
+
+
+# --------------------------------------------------------------------------
+# Train state
+# --------------------------------------------------------------------------
+
+class TrainState(struct.PyTreeNode):
+    """Model + optimizer state carried through the jitted step.
+
+    ``apply_fn`` and ``tx`` are static (not traced); everything else is a
+    pytree of device arrays, replicated over the mesh under pure DP.
+    """
+
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    apply_fn: Callable = struct.field(pytree_node=False)
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads, batch_stats):
+        updates, opt_state = self.tx.update(grads, self.opt_state, self.params)
+        params = optax.apply_updates(self.params, updates)
+        return self.replace(step=self.step + 1, params=params,
+                            batch_stats=batch_stats, opt_state=opt_state)
+
+
+def build_optimizer(opt_cfg, steps_per_epoch: int
+                    ) -> optax.GradientTransformation:
+    """Adam or SGD(momentum=0.9) with optional per-epoch StepLR decay.
+
+    Parity: reference ``train.py:356-369`` — torch ``StepLR(step_size=decay,
+    gamma)`` stepping once per epoch becomes the per-step schedule
+    ``lr * gamma ** ((step // steps_per_epoch) // decay)``.
+    """
+    lr = float(opt_cfg.lr)
+    decay = int(getattr(opt_cfg, "decay", 0) or 0)
+    gamma = float(getattr(opt_cfg, "gamma", 1.0) or 1.0)
+    if decay > 0:
+        def schedule(count):
+            epoch = count // max(steps_per_epoch, 1)
+            return lr * gamma ** (epoch // decay)
+    else:
+        schedule = lr
+    if getattr(opt_cfg, "type", "adam") == "sgd":
+        return optax.sgd(schedule, momentum=0.9)
+    return optax.adam(schedule)
+
+
+def create_state(model: ResNet50, rng: jax.Array,
+                 tx: optax.GradientTransformation,
+                 image_size: int = 224) -> TrainState:
+    """Initialise parameters/batch-stats and wrap them in a TrainState."""
+    dummy = jnp.zeros((1, image_size, image_size, 3), jnp.float32)
+    variables = jax.jit(model.init, static_argnames="train")(
+        rng, dummy, train=False)
+    params = variables["params"]
+    batch_stats = variables["batch_stats"]
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                      batch_stats=batch_stats, opt_state=tx.init(params),
+                      apply_fn=model.apply, tx=tx)
+
+
+# --------------------------------------------------------------------------
+# Loss wiring (reference train.py:330-347)
+# --------------------------------------------------------------------------
+
+def make_loss_fn(loss_type: str, unk_weight: float = 1.0,
+                 class_weights: Optional[np.ndarray] = None) -> Callable:
+    """Return ``loss_fn(logits, labels, mask) -> (mean_loss, count)``."""
+    if loss_type == "entropic":
+        return lambda logits, labels, mask=None: entropic_openset_loss(
+            logits, labels, unk_weight=unk_weight, sample_mask=mask)
+    if loss_type == "softmax":
+        return lambda logits, labels, mask=None: softmax_loss(
+            logits, labels, sample_mask=mask)
+    if loss_type == "garbage":
+        if class_weights is None:
+            raise ValueError("garbage loss requires class_weights")
+        w = jnp.asarray(class_weights, jnp.float32)
+        return lambda logits, labels, mask=None: garbage_loss(
+            logits, labels, w, mask)
+    raise ValueError(f"unknown loss type {loss_type!r}")
+
+
+def _as_loss_args(loss_fn, logits, labels, mask):
+    return loss_fn(logits, labels, mask)
+
+
+# --------------------------------------------------------------------------
+# Jitted steps
+# --------------------------------------------------------------------------
+
+def _to_float(images_u8: jnp.ndarray) -> jnp.ndarray:
+    """uint8 [0,255] -> float32 [0,1] on device (ToTensor parity, C3)."""
+    return images_u8.astype(jnp.float32) * (1.0 / 255.0)
+
+
+def make_train_step(loss_fn: Callable, mesh=None) -> Callable:
+    """Compile the fused forward/loss/backward/update step.
+
+    Under a mesh: state replicated, batch sharded over ``data``; the gradient
+    all-reduce materialises as an XLA ``psum`` over ICI.
+    """
+    def step(state: TrainState, images, labels, mask):
+        imgs = _to_float(images)
+
+        def loss_of(params):
+            (logits, _), mutated = state.apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                imgs, train=True, mutable=["batch_stats"])
+            loss, count = _as_loss_args(loss_fn, logits, labels, mask)
+            return loss, (mutated["batch_stats"], count)
+
+        (loss, (batch_stats, count)), grads = jax.value_and_grad(
+            loss_of, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads, batch_stats)
+        return new_state, {"loss_sum": loss * count, "count": count}
+
+    if mesh is not None:
+        rep = replicated(mesh)
+        data = batch_sharding(mesh)
+        return jax.jit(step, donate_argnums=(0,),
+                       in_shardings=(rep, data, data, data),
+                       out_shardings=(rep, rep))
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def make_eval_step(loss_fn: Callable, loss_type: str, n_classes: int,
+                   mesh=None) -> Callable:
+    """Compile the validation step: loss + streaming confidence sums.
+
+    The regime parameters (offset / unknown_class / last_valid_class) follow
+    reference ``train.py:156-163`` via :func:`loss_regime_params`.
+    """
+    regime = loss_regime_params(loss_type, n_classes)
+
+    def step(state: TrainState, images, labels, mask):
+        imgs = _to_float(images)
+        logits, _ = state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            imgs, train=False)
+        scores = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        loss, _ = _as_loss_args(loss_fn, logits, labels, mask)
+        kn_sum, kn_cnt, neg_sum, neg_cnt = confidence_sums(
+            scores, labels, sample_mask=mask, **regime)
+        rows = jnp.sum(mask)
+        # Reference tracker weighting: per-batch loss weighted by batch rows
+        # (train.py:180-181), not by valid-label rows.
+        return {"loss_sum": loss * rows, "rows": rows,
+                "kn_sum": kn_sum, "kn_count": kn_cnt,
+                "neg_sum": neg_sum, "neg_count": neg_cnt}
+
+    if mesh is not None:
+        rep = replicated(mesh)
+        data = batch_sharding(mesh)
+        return jax.jit(step, in_shardings=(rep, data, data, data),
+                       out_shardings=rep)
+    return jax.jit(step)
+
+
+def make_forward_step(mesh=None) -> Callable:
+    """Compile the extraction step: ``(logits, features, scores)``."""
+    def step(state: TrainState, images):
+        imgs = _to_float(images)
+        logits, features = state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            imgs, train=False)
+        scores = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        return logits, features, scores
+
+    if mesh is not None:
+        rep = replicated(mesh)
+        data = batch_sharding(mesh)
+        return jax.jit(step, in_shardings=(rep, data),
+                       out_shardings=(data, data, data))
+    return jax.jit(step)
+
+
+# --------------------------------------------------------------------------
+# Epoch loops (reference train.py:104-196)
+# --------------------------------------------------------------------------
+
+def train_epoch(state: TrainState, pipeline: InputPipeline, epoch: int,
+                train_step: Callable, trackers) -> TrainState:
+    """One pass over the training set; updates ``trackers['j']``."""
+    for m in trackers.values():
+        m.reset()
+    sums = None
+    for batch in pipeline.epoch(epoch):
+        state, m = train_step(state, batch.images, batch.labels, batch.mask)
+        sums = m if sums is None else jax.tree.map(jnp.add, sums, m)
+    if sums is not None:
+        count = float(sums["count"])
+        if count:
+            trackers["j"].update(float(sums["loss_sum"]) / count, count)
+    return state
+
+
+def validate(state: TrainState, pipeline: InputPipeline, epoch: int,
+             eval_step: Callable, trackers) -> None:
+    """Full validation pass; updates ``trackers`` j / conf_kn / conf_unk.
+
+    Averages are bit-identical in expectation to the reference's full-matrix
+    computation (``train.py:167-196``) but use O(1) device memory.
+    """
+    for m in trackers.values():
+        m.reset()
+    sums = None
+    for batch in pipeline.epoch(epoch):
+        m = eval_step(state, batch.images, batch.labels, batch.mask)
+        sums = m if sums is None else jax.tree.map(jnp.add, sums, m)
+    if sums is None:
+        return
+    sums = jax.tree.map(float, sums)
+    if sums["rows"]:
+        trackers["j"].update(sums["loss_sum"] / sums["rows"], sums["rows"])
+    if sums["kn_count"]:
+        trackers["conf_kn"].update(sums["kn_sum"] / sums["kn_count"],
+                                   sums["kn_count"])
+    if sums["neg_count"]:
+        trackers["conf_unk"].update(sums["neg_sum"] / sums["neg_count"],
+                                    sums["neg_count"])
+
+
+def get_arrays(state: TrainState, pipeline: InputPipeline,
+               forward_step: Optional[Callable] = None, mesh=None
+               ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Extract ``(targets, logits, features, scores)`` for a whole dataset.
+
+    Parity: reference ``train.py:200-234`` — same tuple, same order, numpy
+    on host; padded rows are dropped via the mask.
+    """
+    if forward_step is None:
+        forward_step = make_forward_step(mesh)
+    targets, logits, feats, scores = [], [], [], []
+    for batch in pipeline.epoch(0):
+        lg, ft, sc = forward_step(state, batch.images)
+        keep = np.asarray(batch.mask) > 0
+        targets.append(np.asarray(batch.labels)[keep])
+        logits.append(np.asarray(lg)[keep])
+        feats.append(np.asarray(ft)[keep])
+        scores.append(np.asarray(sc)[keep])
+    return (np.concatenate(targets).astype(np.float32),
+            np.concatenate(logits), np.concatenate(feats),
+            np.concatenate(scores))
+
+
+# --------------------------------------------------------------------------
+# Worker: full single-run orchestration (reference train.py:237-482)
+# --------------------------------------------------------------------------
+
+def _make_reader(cfg, crop: int = 224):
+    if getattr(cfg.data, "reader", "pil") == "synthetic":
+        return SyntheticReader(crop=crop, seed=int(cfg.seed))
+    return PILReader(crop=crop)
+
+
+def build_model(cfg, n_classes: int) -> ResNet50:
+    """Model from config: two-head ResNet, variant default ``resnet50``.
+
+    Parity: reference ``train.py:350-353`` (``fc_layer_dim == out_features ==
+    n_classes``, no logit bias); variant/image-size are extensions.
+    """
+    model_cfg = getattr(cfg, "model", None)
+    variant = (getattr(model_cfg, "variant", "resnet50")
+               if model_cfg is not None else "resnet50")
+    return build_resnet(variant, fc_layer_dim=n_classes,
+                        out_features=n_classes, logit_bias=False)
+
+
+def worker(cfg) -> dict:
+    """Train one (protocol, loss) run end to end.  Returns summary info."""
+    set_seeds(cfg.seed)
+    rng = jax.random.PRNGKey(cfg.seed)
+
+    best_score = 0.0
+    start_epoch = 0
+
+    out_dir = pathlib.Path(cfg.output_directory)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    log = configure_logger(logfile=out_dir / cfg.log_name)
+
+    # -- datasets + label surgery (reference train.py:270-293) -------------
+    train_file = pathlib.Path(str(cfg.data.train_file).format(cfg.protocol))
+    val_file = pathlib.Path(str(cfg.data.val_file).format(cfg.protocol))
+    if not (train_file.exists() and val_file.exists()):
+        raise FileNotFoundError("train/validation file does not exist")
+
+    train_ds = ImagenetDataset(train_file, cfg.data.imagenet_path)
+    val_ds = ImagenetDataset(val_file, cfg.data.imagenet_path)
+    if cfg.loss.type == "garbage":
+        train_ds.replace_negative_label()
+        val_ds.replace_negative_label()
+    elif cfg.loss.type == "softmax":
+        train_ds.remove_negative_label()  # train only (train.py:291-293)
+
+    # -- n_classes rule (reference train.py:330-336) ------------------------
+    if cfg.loss.type == "entropic":
+        n_classes = train_ds.label_count - 1
+    else:
+        n_classes = train_ds.label_count
+
+    class_weights = (train_ds.calculate_class_weights()
+                     if cfg.loss.type == "garbage" else None)
+    loss_fn = make_loss_fn(cfg.loss.type,
+                           unk_weight=float(getattr(cfg.loss, "w", 1.0)),
+                           class_weights=class_weights)
+
+    # -- mesh + input pipelines ---------------------------------------------
+    # Largest device count that divides the global batch (a 1-sample
+    # remainder cannot be split over 8 chips).
+    n_dev = jax.device_count()
+    while int(cfg.batch_size) % n_dev:
+        n_dev -= 1
+    mesh = make_mesh(num_devices=n_dev)
+    data_sh = batch_sharding(mesh)
+    rep = replicated(mesh)
+    image_size = int(getattr(cfg.data, "image_size", 224) or 224)
+    reader = _make_reader(cfg, crop=image_size)
+    workers = int(getattr(cfg, "workers", 4) or 4)
+    train_pipe = pipeline_from_dataset(
+        train_ds, cfg.batch_size, is_training=True, seed=cfg.seed,
+        num_workers=workers, reader=reader, sharding=data_sh,
+        drop_remainder=True)  # static shapes + clean BN stats
+    val_pipe = pipeline_from_dataset(
+        val_ds, cfg.batch_size, is_training=False, seed=cfg.seed,
+        num_workers=workers, reader=reader, sharding=data_sh)
+
+    # -- model / optimizer / state (reference train.py:350-369) ------------
+    model = build_model(cfg, n_classes)
+    tx = build_optimizer(cfg.opt, steps_per_epoch=max(len(train_pipe), 1))
+    state = create_state(model, rng, tx, image_size=image_size)
+    state = jax.device_put(state, rep)
+
+    # -- resume / finetune (reference train.py:372-388) --------------------
+    if getattr(cfg, "checkpoint", None):
+        if getattr(cfg, "train_mode", "train") == "finetune":
+            state, start_epoch, _ = load_checkpoint(
+                cfg.checkpoint, state, restore_opt=False)
+            best_score = 0.0
+        else:
+            state, start_epoch, best_score = load_checkpoint(
+                cfg.checkpoint, state, restore_opt=True)
+        state = jax.device_put(state, rep)
+        log.info(f"Best score of loaded model: {best_score:.3f}. "
+                 "0 is for fine tuning")
+        log.info(f"Loaded {cfg.checkpoint} at epoch {start_epoch}")
+
+    train_step = make_train_step(loss_fn, mesh)
+    eval_step = make_eval_step(loss_fn, cfg.loss.type, n_classes, mesh)
+
+    early_stopping = (EarlyStopping(patience=cfg.patience)
+                      if getattr(cfg, "patience", 0) > 0 else None)
+    t_metrics = defaultdict(AverageMeter)
+    v_metrics = defaultdict(AverageMeter)
+
+    log.info("============ Data ============")
+    log.info(f"train_len:{len(train_ds)}, labels:{train_ds.label_count}")
+    log.info(f"val_len:{len(val_ds)}, labels:{val_ds.label_count}")
+    log.info("========== Training ==========")
+    log.info(f"Initial epoch: {start_epoch}")
+    log.info(f"Last epoch: {cfg.epochs}")
+    log.info(f"Batch size: {cfg.batch_size}")
+    log.info(f"workers: {workers}")
+    log.info(f"Loss: {cfg.loss.type}")
+    log.info(f"optimizer: {cfg.opt.type}")
+    log.info(f"Learning rate: {cfg.opt.lr}")
+    log.info(f"Device mesh: {mesh.shape} on "
+             f"{jax.devices()[0].platform.upper()}")
+    log.info("Training...")
+    writer = SummaryWriter(log_dir=out_dir,
+                           filename_suffix="-" + str(cfg.log_name))
+
+    epoch = start_epoch - 1
+    for epoch in range(start_epoch, cfg.epochs):
+        epoch_time = time.time()
+        state = train_epoch(state, train_pipe, epoch, train_step, t_metrics)
+        train_time = time.time() - epoch_time
+
+        validate(state, val_pipe, epoch, eval_step, v_metrics)
+        curr_score = v_metrics["conf_kn"].avg + v_metrics["conf_unk"].avg
+
+        writer.add_scalar("train/loss", t_metrics["j"].avg, epoch)
+        writer.add_scalar("val/loss", v_metrics["j"].avg, epoch)
+        writer.add_scalar("val/conf_kn", v_metrics["conf_kn"].avg, epoch)
+        writer.add_scalar("val/conf_unk", v_metrics["conf_unk"].avg, epoch)
+        writer.flush()
+
+        val_time = time.time() - train_time - epoch_time
+        log.info(
+            f"loss:{cfg.loss.type} protocol:{cfg.protocol} ep:{epoch} "
+            f"train:{dict(t_metrics)} val:{dict(v_metrics)} "
+            f"t:{train_time:.1f}s v:{val_time:.1f}s")
+
+        ckpt_name = str(out_dir / cfg.name) + "_curr.pth"
+        save_checkpoint(ckpt_name, state, epoch, curr_score)
+        if curr_score > best_score:
+            best_score = curr_score
+            ckpt_name = str(out_dir / cfg.name) + "_best.pth"
+            log.info(f"Saving best model {ckpt_name} at epoch: {epoch}")
+            save_checkpoint(ckpt_name, state, epoch, best_score)
+
+        if early_stopping is not None:
+            early_stopping(metrics=curr_score, loss=False)
+            if early_stopping.early_stop:
+                log.info("early stop")
+                break
+
+    train_pipe.close()
+    val_pipe.close()
+    writer.close()
+    log.info("Training finished")
+    return {"best_score": best_score, "last_epoch": epoch,
+            "n_classes": n_classes}

@@ -1,0 +1,203 @@
+"""End-to-end engine tests: tiny synthetic runs over the 8-device CPU mesh.
+
+Covers SURVEY.md §4's pipeline-test and multi-chip-test requirements: the
+full worker (datasets -> label surgery -> mesh DP -> jitted steps ->
+checkpoints -> tensorboard/CSV scalars) on a synthetic protocol, plus
+resume and finetune semantics, optimizer schedule parity, and single-vs-
+multi-device gradient identity.
+"""
+
+import csv
+import itertools
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from openset_imagenet_tpu.config import NameSpace
+from openset_imagenet_tpu import train as engine
+from openset_imagenet_tpu.checkpoint import (load_checkpoint, read_metadata,
+                                             save_checkpoint)
+from openset_imagenet_tpu.models.resnet import build_resnet
+from openset_imagenet_tpu.parallel.mesh import (batch_sharding, make_mesh,
+                                                replicated)
+
+
+def write_protocol_csvs(tmp_path, n_train=32, n_val=24, n_known=3):
+    """Tiny protocol CSVs: labels 0..n_known-1 plus -1 negatives."""
+    rng = np.random.default_rng(0)
+    for split, n in (("train", n_train), ("val", n_val)):
+        rows = []
+        for i in range(n):
+            label = int(rng.integers(-1, n_known))
+            rows.append((f"n000/{split}_{i}.JPEG", label))
+        # Guarantee every class + a negative appear.
+        for c in range(-1, n_known):
+            rows.append((f"n000/{split}_extra{c}.JPEG", c))
+        with open(tmp_path / f"p1_{split}.csv", "w", newline="") as f:
+            csv.writer(f).writerows(rows)
+
+
+def tiny_cfg(tmp_path, loss_type="entropic", epochs=2, **over):
+    cfg = NameSpace({
+        "name": loss_type,
+        "checkpoint": None,
+        "log_name": "training.log",
+        "train_mode": "train",
+        "gpu": None,
+        "parallel": True,
+        "data": {
+            "imagenet_path": str(tmp_path),
+            "train_file": str(tmp_path / "p{}_train.csv"),
+            "val_file": str(tmp_path / "p{}_val.csv"),
+            "test_file": str(tmp_path / "p{}_val.csv"),
+            "reader": "synthetic",
+            "image_size": 32,
+        },
+        "seed": 42,
+        "batch_size": 8,
+        "epochs": epochs,
+        "workers": 2,
+        "patience": 0,
+        "loss": {"type": loss_type, "w": 1.0},
+        "opt": {"type": "adam", "lr": 1e-3, "decay": 0, "gamma": 1},
+        "model": {"variant": "tiny"},
+        "protocol": 1,
+        "output_directory": Path(tmp_path / "out"),
+    })
+    for k, v in over.items():
+        setattr(cfg, k, v)
+    return cfg
+
+
+@pytest.mark.parametrize("loss_type", ["entropic", "softmax", "garbage"])
+def test_worker_end_to_end(tmp_path, loss_type):
+    write_protocol_csvs(tmp_path)
+    cfg = tiny_cfg(tmp_path, loss_type)
+    info = engine.worker(cfg)
+    out = Path(cfg.output_directory)
+    assert (out / f"{loss_type}_curr.pth").exists()
+    assert (out / f"{loss_type}_best.pth").exists()
+    assert (out / "training.log").exists()
+    # Scalar record: 4 tags x 2 epochs.
+    from openset_imagenet_tpu.events import read_scalars
+    scalars = read_scalars(out)
+    for tag in ("train/loss", "val/loss", "val/conf_kn", "val/conf_unk"):
+        assert tag in scalars and len(scalars[tag]) == 2, (tag, scalars)
+    assert np.isfinite(info["best_score"])
+    meta = read_metadata(out / f"{loss_type}_curr.pth")
+    assert meta["epoch"] == 2  # stored as epoch + 1
+
+
+def test_worker_resume(tmp_path):
+    write_protocol_csvs(tmp_path)
+    cfg = tiny_cfg(tmp_path, "entropic", epochs=1)
+    engine.worker(cfg)
+    curr = Path(cfg.output_directory) / "entropic_curr.pth"
+
+    cfg2 = tiny_cfg(tmp_path, "entropic", epochs=2)
+    cfg2.checkpoint = str(curr)
+    info = engine.worker(cfg2)
+    assert info["last_epoch"] == 1  # resumed at epoch 1, trained one more
+    meta = read_metadata(curr)
+    assert meta["epoch"] == 2
+
+
+def test_worker_finetune_resets_best(tmp_path):
+    write_protocol_csvs(tmp_path)
+    cfg = tiny_cfg(tmp_path, "entropic", epochs=1)
+    engine.worker(cfg)
+    curr = Path(cfg.output_directory) / "entropic_curr.pth"
+
+    cfg2 = tiny_cfg(tmp_path, "entropic", epochs=1, train_mode="finetune")
+    cfg2.checkpoint = str(curr)
+    cfg2.output_directory = Path(tmp_path / "out2")
+    # Finetune restores weights but restarts at the stored epoch with a
+    # fresh optimizer and best=0 (reference train.py:374-380).
+    info = engine.worker(cfg2)
+    assert np.isfinite(info["best_score"])
+
+
+def test_steplr_schedule_matches_torch_formula():
+    opt_cfg = NameSpace({"type": "sgd", "lr": 0.1, "decay": 2, "gamma": 0.5})
+    steps_per_epoch = 5
+    tx = engine.build_optimizer(opt_cfg, steps_per_epoch)
+    params = {"w": jnp.ones(3)}
+    opt_state = tx.init(params)
+    grads = {"w": jnp.ones(3)}
+    for step in range(30):
+        updates, opt_state = tx.update(grads, opt_state, params)
+        # torch SGD momentum buffer after s identical unit grads:
+        # buf_s = sum_{i<=s} 0.9^i = (1 - 0.9^(s+1)) / 0.1.
+        buf = (1.0 - 0.9 ** (step + 1)) / 0.1
+        # torch StepLR: lr(epoch) = 0.1 * 0.5 ** (epoch // 2).
+        epoch = step // steps_per_epoch
+        expected = 0.1 * 0.5 ** (epoch // 2) * buf
+        assert -float(updates["w"][0]) == pytest.approx(
+            expected, rel=1e-4), (step, expected)
+
+
+def test_checkpoint_roundtrip_and_finetune_reset():
+    model = build_resnet("tiny", fc_layer_dim=4, out_features=4)
+    tx = engine.build_optimizer(
+        NameSpace({"type": "adam", "lr": 1e-3, "decay": 0, "gamma": 1}), 1)
+    state = engine.create_state(model, jax.random.PRNGKey(0), tx,
+                                image_size=32)
+    state = state.replace(step=jnp.asarray(17, jnp.int32))
+    save_checkpoint("/tmp/osi_test_ckpt.pth", state, epoch=4, best_score=1.25)
+
+    fresh = engine.create_state(model, jax.random.PRNGKey(1), tx,
+                                image_size=32)
+    restored, start_epoch, best = load_checkpoint(
+        "/tmp/osi_test_ckpt.pth", fresh, restore_opt=True)
+    assert start_epoch == 5 and best == 1.25
+    assert int(restored.step) == 17
+    jax.tree.map(np.testing.assert_array_equal,
+                 jax.tree.map(np.asarray, restored.params),
+                 jax.tree.map(np.asarray, state.params))
+
+    ft, ep, best0 = load_checkpoint("/tmp/osi_test_ckpt.pth", fresh,
+                                    restore_opt=False)
+    assert best0 == 0.0 and int(ft.step) == int(fresh.step)
+
+
+def test_multi_device_step_matches_single_device():
+    """DP over the mesh must produce the same update as one device.
+
+    float32 model so the comparison is tight; a missing gradient all-reduce
+    would show up as an ~8x discrepancy, far outside these tolerances.
+    """
+    model = build_resnet("tiny", fc_layer_dim=4, out_features=4,
+                         dtype=jnp.float32)
+    tx = engine.build_optimizer(
+        NameSpace({"type": "sgd", "lr": 0.1, "decay": 0, "gamma": 1}), 1)
+    loss_fn = engine.make_loss_fn("entropic")
+
+    rng = np.random.default_rng(3)
+    images = rng.integers(0, 256, (8, 32, 32, 3), np.uint8)
+    labels = np.array([0, 1, 2, 3, -1, -1, 2, 0], np.int32)
+    mask = np.ones(8, np.float32)
+
+    def run(mesh):
+        state = engine.create_state(model, jax.random.PRNGKey(0), tx,
+                                    image_size=32)
+        if mesh is not None:
+            state = jax.device_put(state, replicated(mesh))
+            sh = batch_sharding(mesh)
+            b = [jax.device_put(x, sh) for x in (images, labels, mask)]
+        else:
+            b = (images, labels, mask)
+        step = engine.make_train_step(loss_fn, mesh)
+        new_state, m = step(state, *b)
+        return (jax.tree.map(np.asarray, new_state.params),
+                float(m["loss_sum"]))
+
+    params_1, loss_1 = run(None)
+    params_8, loss_8 = run(make_mesh(8))
+    assert loss_1 == pytest.approx(loss_8, rel=1e-5)
+    flat1 = jax.tree.leaves(params_1)
+    flat8 = jax.tree.leaves(params_8)
+    for a, b in zip(flat1, flat8):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
