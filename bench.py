@@ -1,0 +1,98 @@
+"""Headline benchmark: ResNet-50 training throughput (imgs/sec/chip).
+
+This is the BASELINE.md primary metric ("ImageNet imgs/sec/chip for
+ResNet-50 training").  It times the full jitted training step — two-head
+ResNet-50 (SURVEY.md C4), entropic open-set loss, Adam, batch-norm updates,
+bfloat16 compute — on device-resident data, isolating device throughput from
+host JPEG decode (benched separately by ``bench_pipeline.py``).
+
+Baseline: the reference trains ResNet-50 at batch 64 in fp32 PyTorch on one
+GPU and reports only "about a week" for the 3x3 sweep of 120-epoch runs
+(reference ``readme.md:86``, BASELINE.md).  With protocol-1 scale data
+(~460k train images/epoch x 120 epochs x 9 runs in ~604800s) that implies
+roughly 800 imgs/sec aggregate, i.e. ~400 imgs/sec/GPU on the 2-GPU setup
+the README suggests — consistent with public V100 ResNet-50 fp32
+measurements.  ``vs_baseline`` is measured imgs/sec/chip divided by that
+400 imgs/sec reference estimate.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build(batch_size: int):
+    from openset_imagenet_tpu import train as engine
+    from openset_imagenet_tpu.config import NameSpace
+    from openset_imagenet_tpu.models.resnet import build_resnet
+
+    n_classes = 1000
+    model = build_resnet("resnet50", fc_layer_dim=n_classes,
+                         out_features=n_classes, logit_bias=False)
+    tx = engine.build_optimizer(
+        NameSpace({"type": "adam", "lr": 1e-3, "decay": 0, "gamma": 1}), 1)
+    state = engine.create_state(model, jax.random.PRNGKey(0), tx)
+    loss_fn = engine.make_loss_fn("entropic", unk_weight=1.0)
+    step = engine.make_train_step(loss_fn, mesh=None)
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.integers(0, 256, (batch_size, 224, 224, 3),
+                                      np.uint8))
+    labels = jnp.asarray(rng.integers(-1, n_classes, batch_size)
+                         .astype(np.int32))
+    mask = jnp.ones((batch_size,), jnp.float32)
+    return state, step, (images, labels, mask)
+
+
+def run(batch_size: int, steps: int = 30, warmup: int = 5):
+    state, step, batch = build(batch_size)
+    for _ in range(warmup):
+        state, m = step(state, *batch)
+    jax.block_until_ready(m["loss_sum"])
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, m = step(state, *batch)
+    jax.block_until_ready(m["loss_sum"])
+    dt = time.perf_counter() - t0
+    return batch_size * steps / dt
+
+
+def main():
+    n_chips = jax.device_count()
+    last_err = None
+    for batch_size in (256, 128, 64):
+        try:
+            imgs_per_sec = run(batch_size)
+            break
+        except Exception as e:  # OOM etc: retry smaller
+            last_err = e
+            continue
+    else:
+        print(json.dumps({"metric": "resnet50_train_throughput",
+                          "value": 0.0, "unit": "imgs/sec/chip",
+                          "vs_baseline": 0.0,
+                          "error": str(last_err)[:200]}))
+        return 1
+
+    per_chip = imgs_per_sec / n_chips
+    baseline = 400.0  # reference GPU imgs/sec estimate (see module docstring)
+    print(json.dumps({
+        "metric": "resnet50_train_throughput",
+        "value": round(per_chip, 1),
+        "unit": "imgs/sec/chip",
+        "vs_baseline": round(per_chip / baseline, 2),
+        "batch_size": batch_size,
+        "n_chips": n_chips,
+        "platform": jax.devices()[0].platform,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -31,7 +31,10 @@ from .ops.losses import (  # noqa: F401
 )
 from .ops.metrics import confidence  # noqa: F401
 from .ops.oscr import calculate_oscr  # noqa: F401
+from .protocol import OpenSetProtocol  # noqa: F401
 
 # Subpackages commonly used as `openset_imagenet_tpu.X`
 from . import dataset, logger  # noqa: F401
 from . import util  # noqa: F401
+from . import checkpoint, events, pipeline, transforms, wordnet  # noqa: F401
+from . import metrics, losses  # noqa: F401  (reference-style aliases)

@@ -1,5 +1,126 @@
-"""CLI stub — implemented later this round."""
+"""``evaluate_imagenet`` CLI: extract features/logits/scores to ``.npz``.
+
+Parity with reference ``script/evaluate.py:15-149``: loads the ``_best`` or
+``_curr`` checkpoint for a (loss, protocol) run, rebuilds the model with the
+evaluation ``n_classes`` rule (garbage: ``label_count``; else
+``label_count - 1``, reference ``script/evaluate.py:118-121``), runs the
+val and test splits through the jitted forward step, and saves
+``{loss}_{split}_arr{suffix}.npz`` archives of
+``{gt, logits, features, scores}`` (reference ``script/evaluate.py:133-149``).
+
+Note the reference quirk kept here: the val/test CSVs are loaded **without**
+label surgery (negative labels stay −1/−2) except for garbage, where the
+scores matrix simply has the extra background column.
+"""
+
+from __future__ import annotations
+
+import argparse
+import pathlib
+
+import numpy as np
+
+
+def get_args(argv=None):
+    parser = argparse.ArgumentParser(
+        "evaluate_imagenet",
+        description="Extract logits/features/scores for val+test")
+    parser.add_argument("loss", choices=("entropic", "softmax", "garbage"),
+                        help="Loss function used at training time")
+    parser.add_argument("protocol", type=int, choices=(1, 2, 3),
+                        help="Open-set protocol")
+    parser.add_argument("--use-best", "-b", action="store_true",
+                        help="Load the _best checkpoint instead of _curr")
+    parser.add_argument("--gpu", "-g", type=int, nargs="?", default=None,
+                        const=0, help="Accepted for compatibility")
+    parser.add_argument("--imagenet-directory",
+                        default="/local/scratch/datasets/ImageNet/ILSVRC2012/",
+                        help="ImageNet root directory")
+    parser.add_argument("--protocol-directory", default="protocols",
+                        help="Directory holding the p{}_{split}.csv files")
+    parser.add_argument("--output-directory", "-o",
+                        default="experiments/Protocol_{}",
+                        help="Directory with checkpoints; receives the npz; "
+                             "'{}' is replaced by the protocol number")
+    parser.add_argument("--batch-size", type=int, default=64)
+    parser.add_argument("--workers", type=int, default=16)
+    parser.add_argument("--image-size", type=int, default=224)
+    parser.add_argument("--model-variant", default="resnet50")
+    parser.add_argument("--reader", default="pil",
+                        choices=("pil", "synthetic"))
+    args = parser.parse_args(argv)
+    try:
+        args.output_directory = args.output_directory.format(args.protocol)
+    except (IndexError, KeyError):
+        pass
+    return args
 
 
 def main(argv=None):
-    raise NotImplementedError("openset_imagenet_tpu.script.evaluate: coming in this round")
+    args = get_args(argv)
+    import jax
+
+    from ..config import NameSpace
+    from ..dataset import ImagenetDataset
+    from ..logger import configure_logger
+    from .. import train as engine
+    from ..checkpoint import load_checkpoint
+    from ..parallel.mesh import batch_sharding, make_mesh, replicated
+    from ..pipeline import pipeline_from_dataset
+
+    log = configure_logger()
+    out_dir = pathlib.Path(args.output_directory)
+    proto_dir = pathlib.Path(args.protocol_directory)
+    suffix = "_best" if args.use_best else "_curr"
+
+    # Datasets WITHOUT label surgery (reference script/evaluate.py:92-100).
+    val_ds = ImagenetDataset(proto_dir / f"p{args.protocol}_val.csv",
+                             args.imagenet_directory)
+    test_ds = ImagenetDataset(proto_dir / f"p{args.protocol}_test.csv",
+                              args.imagenet_directory)
+
+    # Evaluation n_classes rule (reference script/evaluate.py:118-121):
+    # garbage keeps the background class; others drop the -1 label column.
+    if args.loss == "garbage":
+        n_classes = val_ds.label_count
+    else:
+        n_classes = val_ds.label_count - 1
+
+    n_dev = jax.device_count()
+    while args.batch_size % n_dev:
+        n_dev -= 1
+    mesh = make_mesh(num_devices=n_dev)
+
+    cfg = NameSpace({"model": {"variant": args.model_variant},
+                     "data": {"reader": args.reader},
+                     "seed": 42})
+    model = engine.build_model(cfg, n_classes)
+    tx = engine.build_optimizer(
+        NameSpace({"type": "adam", "lr": 1e-3, "decay": 0, "gamma": 1}), 1)
+    state = engine.create_state(model, jax.random.PRNGKey(42),
+                                tx, image_size=args.image_size)
+    ckpt = out_dir / f"{args.loss}{suffix}.pth"
+    state, start_epoch, best_score = load_checkpoint(ckpt, state,
+                                                     restore_opt=False)
+    state = jax.device_put(state, replicated(mesh))
+    log.info(f"Loaded {ckpt} (epoch {start_epoch}, score {best_score:.3f})")
+
+    forward = engine.make_forward_step(mesh)
+    reader = engine._make_reader(cfg, crop=args.image_size)
+    for split, ds in (("val", val_ds), ("test", test_ds)):
+        pipe = pipeline_from_dataset(
+            ds, args.batch_size, is_training=False, seed=42,
+            num_workers=args.workers, reader=reader,
+            sharding=batch_sharding(mesh))
+        gt, logits, features, scores = engine.get_arrays(
+            state, pipe, forward_step=forward)
+        pipe.close()
+        file_path = out_dir / f"{args.loss}_{split}_arr{suffix}.npz"
+        np.savez(file_path, gt=gt, logits=logits, features=features,
+                 scores=scores)
+        log.info(f"Target labels, logits, features and scores saved in: "
+                 f"{file_path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -24,7 +24,7 @@ def get_args(argv=None):
                         help="Filename of the training configuration (YAML)")
     parser.add_argument("protocol", type=int, choices=(1, 2, 3),
                         help="Open-set protocol: 1, 2 or 3")
-    parser.add_argument("-o", "--output-directory", default="experiments",
+    parser.add_argument("-o", "--output-directory", default=".",
                         type=pathlib.Path,
                         help="Directory for trained models and logs")
     parser.add_argument("-g", "--gpu", type=int, nargs="?", default=None,

@@ -18,6 +18,16 @@ from .config import NameSpace, load_yaml  # noqa: F401  (parity re-export)
 from .ops.oscr import calculate_oscr, ccr_at_fpr  # noqa: F401
 
 
+def __getattr__(name):
+    # Lazy parity re-exports of the plotting helpers (reference util.py
+    # hosts them alongside the analysis code; keeping matplotlib imports
+    # lazy avoids pulling a GUI toolkit into training processes).
+    if name in ("plot_oscr", "plot_single_oscr"):
+        from . import plots
+        return getattr(plots, name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
 def dataset_info(protocol_data_dir):
     """Data frame with per-split known/negative/unknown composition.
 

@@ -26,15 +26,16 @@ from openset_imagenet_tpu.parallel.mesh import (batch_sharding, make_mesh,
 
 
 def write_protocol_csvs(tmp_path, n_train=32, n_val=24, n_known=3):
-    """Tiny protocol CSVs: labels 0..n_known-1 plus -1 negatives."""
+    """Tiny protocol CSVs: labels 0..n_known-1, -1 negatives, -2 in test."""
     rng = np.random.default_rng(0)
-    for split, n in (("train", n_train), ("val", n_val)):
+    for split, n in (("train", n_train), ("val", n_val), ("test", n_val)):
+        low = -2 if split == "test" else -1
         rows = []
         for i in range(n):
-            label = int(rng.integers(-1, n_known))
+            label = int(rng.integers(low, n_known))
             rows.append((f"n000/{split}_{i}.JPEG", label))
-        # Guarantee every class + a negative appear.
-        for c in range(-1, n_known):
+        # Guarantee every class + a negative (and -2 in test) appear.
+        for c in range(low, n_known):
             rows.append((f"n000/{split}_extra{c}.JPEG", c))
         with open(tmp_path / f"p1_{split}.csv", "w", newline="") as f:
             csv.writer(f).writerows(rows)
