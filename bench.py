@@ -54,11 +54,14 @@ def run(batch_size: int, steps: int = 30, warmup: int = 5):
     state, step, batch = build(batch_size)
     for _ in range(warmup):
         state, m = step(state, *batch)
-    jax.block_until_ready(m["loss_sum"])
+    # Materialise a scalar to drain the pipeline: device->host value fetch
+    # is the only reliable sync point on tunneled PJRT backends where
+    # block_until_ready can return early.
+    float(m["loss_sum"])
     t0 = time.perf_counter()
     for _ in range(steps):
         state, m = step(state, *batch)
-    jax.block_until_ready(m["loss_sum"])
+    assert np.isfinite(float(m["loss_sum"]))  # forces full drain
     dt = time.perf_counter() - t0
     return batch_size * steps / dt
 

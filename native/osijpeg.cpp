@@ -1,0 +1,184 @@
+// osijpeg: fused JPEG decode -> shorter-side resize -> crop -> flip.
+//
+// Native data-path for openset_imagenet_tpu replacing the reference's
+// PIL/torchvision per-item decode (reference dataset.py:46-53 +
+// torchvision transforms, SURVEY.md C2/C3).  Speed levers over PIL:
+//
+//  * libjpeg DCT scaling: decode directly at M/8 resolution (M=1..8), the
+//    smallest fraction whose shorter side still >= the resize target.  For
+//    a typical 500x375 ImageNet JPEG resized to 256 this decodes at 4/8
+//    scale -- ~4x fewer pixels through the IDCT and color conversion.
+//  * fused bilinear resize straight into the crop window: only the
+//    `crop x crop` output pixels are resampled, not the full resized frame.
+//  * optional horizontal flip fused into the same pass (negative x stride).
+//
+// Because DCT scaling leaves a residual downscale factor <= ~1.14, plain
+// 2-tap bilinear here matches PIL's antialiased resize closely (antialias
+// matters for factors > 2; those are absorbed by the IDCT box prefilter).
+//
+// Thread-safety: no globals; each call owns its decompress struct.  The
+// Python side drives one call per image from a thread pool.
+
+#include <algorithm>
+#include <cmath>
+#include <csetjmp>
+#include <cstdint>
+#include <cstdio>  // jpeglib.h needs FILE declared first
+#include <cstring>
+#include <vector>
+
+#include <jpeglib.h>
+
+namespace {
+
+struct ErrorMgr {
+  jpeg_error_mgr pub;
+  jmp_buf setjmp_buffer;
+};
+
+void error_exit(j_common_ptr cinfo) {
+  ErrorMgr* err = reinterpret_cast<ErrorMgr*>(cinfo->err);
+  longjmp(err->setjmp_buffer, 1);
+}
+
+// Bilinear sample of channel-interleaved RGB row data.
+inline void sample_bilinear(const uint8_t* src, int sw, int sh,
+                            float fx, float fy, uint8_t* out3) {
+  fx = std::min(std::max(fx, 0.0f), static_cast<float>(sw - 1));
+  fy = std::min(std::max(fy, 0.0f), static_cast<float>(sh - 1));
+  int x0 = static_cast<int>(fx);
+  int y0 = static_cast<int>(fy);
+  int x1 = std::min(x0 + 1, sw - 1);
+  int y1 = std::min(y0 + 1, sh - 1);
+  float ax = fx - x0, ay = fy - y0;
+  const uint8_t* p00 = src + (static_cast<size_t>(y0) * sw + x0) * 3;
+  const uint8_t* p01 = src + (static_cast<size_t>(y0) * sw + x1) * 3;
+  const uint8_t* p10 = src + (static_cast<size_t>(y1) * sw + x0) * 3;
+  const uint8_t* p11 = src + (static_cast<size_t>(y1) * sw + x1) * 3;
+  for (int c = 0; c < 3; ++c) {
+    float v0 = p00[c] + ax * (p01[c] - p00[c]);
+    float v1 = p10[c] + ax * (p11[c] - p10[c]);
+    float v = v0 + ay * (v1 - v0);
+    out3[c] = static_cast<uint8_t>(v + 0.5f);
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode `jpeg[0:len]`, resize so the shorter side == `resize` (aspect
+// preserved), crop `crop x crop` at (top, left) in resized coordinates,
+// optionally mirror horizontally, write RGB uint8 into `out`
+// (crop*crop*3 bytes).  top/left < 0 selects a center crop.
+// Returns 0 on success; on failure the caller should fall back to PIL.
+int osi_decode_resize_crop(const uint8_t* jpeg, size_t len, int resize,
+                           int crop, int top, int left, int flip,
+                           uint8_t* out) {
+  jpeg_decompress_struct cinfo;
+  ErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = error_exit;
+  if (setjmp(jerr.setjmp_buffer)) {
+    jpeg_destroy_decompress(&cinfo);
+    return 1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, jpeg, len);
+  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+    jpeg_destroy_decompress(&cinfo);
+    return 2;
+  }
+
+  const int full_w = cinfo.image_width, full_h = cinfo.image_height;
+  if (full_w < 1 || full_h < 1) {
+    jpeg_destroy_decompress(&cinfo);
+    return 3;
+  }
+  // Smallest DCT fraction m/8 whose decoded shorter side >= resize.
+  const int short_side = std::min(full_w, full_h);
+  int m = 8;
+  for (int cand = 1; cand <= 8; ++cand) {
+    if (static_cast<long>(short_side) * cand >= static_cast<long>(resize) * 8) {
+      m = cand;
+      break;
+    }
+  }
+  cinfo.scale_num = m;
+  cinfo.scale_denom = 8;
+  cinfo.out_color_space = JCS_RGB;
+  cinfo.dct_method = JDCT_ISLOW;
+  jpeg_start_decompress(&cinfo);
+
+  const int dw = cinfo.output_width, dh = cinfo.output_height;
+  const int comps = cinfo.output_components;
+  if (comps != 3) {  // JCS_RGB should always yield 3; be defensive.
+    jpeg_abort_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    return 4;
+  }
+  std::vector<uint8_t> decoded(static_cast<size_t>(dw) * dh * 3);
+  while (cinfo.output_scanline < cinfo.output_height) {
+    uint8_t* row = decoded.data() +
+        static_cast<size_t>(cinfo.output_scanline) * dw * 3;
+    JSAMPROW rows[1] = {row};
+    jpeg_read_scanlines(&cinfo, rows, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+
+  // Target resized geometry: shorter side == resize, aspect preserved,
+  // matching PIL/torchvision rounding (round(size * other / shorter)).
+  int rw, rh;
+  if (full_w <= full_h) {
+    rw = resize;
+    rh = std::max(1, static_cast<int>(
+        std::lround(static_cast<double>(resize) * full_h / full_w)));
+  } else {
+    rh = resize;
+    rw = std::max(1, static_cast<int>(
+        std::lround(static_cast<double>(resize) * full_w / full_h)));
+  }
+  if (top < 0) top = std::max(0, (rh - crop) / 2);
+  if (left < 0) left = std::max(0, (rw - crop) / 2);
+
+  // Map each output pixel through the crop offset into decoded coordinates
+  // (PIL-style half-pixel centers: src = (dst + 0.5) * scale - 0.5).
+  const float sx = static_cast<float>(dw) / rw;
+  const float sy = static_cast<float>(dh) / rh;
+  for (int y = 0; y < crop; ++y) {
+    const float fy = (y + top + 0.5f) * sy - 0.5f;
+    uint8_t* orow = out + static_cast<size_t>(y) * crop * 3;
+    for (int x = 0; x < crop; ++x) {
+      const int ox = flip ? (crop - 1 - x) : x;
+      const float fx = (x + left + 0.5f) * sx - 0.5f;
+      sample_bilinear(decoded.data(), dw, dh, fx, fy, orow + ox * 3);
+    }
+  }
+  return 0;
+}
+
+// Geometry probe: decoded full size -> (w, h); returns 0 on success.
+int osi_jpeg_size(const uint8_t* jpeg, size_t len, int* w, int* h) {
+  jpeg_decompress_struct cinfo;
+  ErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = error_exit;
+  if (setjmp(jerr.setjmp_buffer)) {
+    jpeg_destroy_decompress(&cinfo);
+    return 1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, jpeg, len);
+  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+    jpeg_destroy_decompress(&cinfo);
+    return 2;
+  }
+  *w = cinfo.image_width;
+  *h = cinfo.image_height;
+  jpeg_abort_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return 0;
+}
+
+}  // extern "C"

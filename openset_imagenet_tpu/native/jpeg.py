@@ -1,0 +1,135 @@
+"""ctypes binding + build driver for the native JPEG data path.
+
+Wraps ``native/osijpeg.cpp`` (fused libjpeg decode -> shorter-side resize ->
+crop -> flip) and exposes :class:`NativeReader` with the pipeline's reader
+interface.  The shared library is compiled on first use with ``g++ -O3``
+and cached next to the sources; any failure (no toolchain, no libjpeg,
+corrupt file) degrades gracefully to the PIL reader, so the native path is
+a pure acceleration.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+_SRC = Path(__file__).resolve().parents[2] / "native" / "osijpeg.cpp"
+_LIB_PATH = _SRC.parent / "libosijpeg.so"
+_lock = threading.Lock()
+_lib = None
+_lib_error: Optional[str] = None
+
+
+def _build_library() -> Path:
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+           str(_SRC), "-o", str(_LIB_PATH), "-ljpeg"]
+    subprocess.run(cmd, check=True, capture_output=True)
+    return _LIB_PATH
+
+
+def load_library():
+    """Load (building if needed) the native library; None if unavailable."""
+    global _lib, _lib_error
+    with _lock:
+        if _lib is not None or _lib_error is not None:
+            return _lib
+        try:
+            if not _LIB_PATH.exists() or \
+                    _LIB_PATH.stat().st_mtime < _SRC.stat().st_mtime:
+                _build_library()
+            lib = ctypes.CDLL(str(_LIB_PATH))
+            lib.osi_decode_resize_crop.restype = ctypes.c_int
+            lib.osi_decode_resize_crop.argtypes = [
+                ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_void_p]
+            lib.osi_jpeg_size.restype = ctypes.c_int
+            lib.osi_jpeg_size.argtypes = [
+                ctypes.c_char_p, ctypes.c_size_t,
+                ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+            _lib = lib
+        except Exception as exc:  # toolchain/libjpeg missing
+            _lib_error = str(exc)
+            _lib = None
+        return _lib
+
+
+def native_available() -> bool:
+    return load_library() is not None
+
+
+def decode_resize_crop(data: bytes, resize: int, crop: int,
+                       top: int = -1, left: int = -1,
+                       flip: bool = False) -> Optional[np.ndarray]:
+    """Fused decode; returns ``uint8 [crop, crop, 3]`` or None on failure."""
+    lib = load_library()
+    if lib is None:
+        return None
+    out = np.empty((crop, crop, 3), np.uint8)
+    rc = lib.osi_decode_resize_crop(
+        data, len(data), resize, crop, top, left, int(flip),
+        out.ctypes.data_as(ctypes.c_void_p))
+    if rc != 0:
+        return None
+    return out
+
+
+def jpeg_size(data: bytes):
+    """(width, height) of a JPEG, or None."""
+    lib = load_library()
+    if lib is None:
+        return None
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    if lib.osi_jpeg_size(data, len(data), ctypes.byref(w),
+                         ctypes.byref(h)) != 0:
+        return None
+    return w.value, h.value
+
+
+class NativeReader:
+    """Pipeline reader: native fused path with PIL fallback per image.
+
+    Matches :class:`openset_imagenet_tpu.pipeline.PILReader` semantics:
+    ``rng=None`` -> center crop (eval); otherwise random crop + hflip(0.5)
+    with the same draw order as the host transforms (crop offsets first,
+    then the flip coin), so augmentation streams stay reproducible.
+    """
+
+    def __init__(self, crop: int = 224, resize: int = 256):
+        self.crop = crop
+        self.resize = resize
+        from ..pipeline import PILReader
+        self._fallback = PILReader(crop=crop, resize=resize)
+
+    def __call__(self, path, rng) -> np.ndarray:
+        try:
+            with open(path, "rb") as f:
+                data = f.read()
+        except OSError:
+            return self._fallback(path, rng)
+        if rng is None:
+            out = decode_resize_crop(data, self.resize, self.crop)
+            return out if out is not None else self._fallback(path, rng)
+
+        size = jpeg_size(data)
+        if size is None:
+            return self._fallback(path, rng)
+        w, h = size
+        # Resized geometry (shorter side == resize, PIL rounding).
+        if w <= h:
+            rw, rh = self.resize, max(1, round(self.resize * h / w))
+        else:
+            rw, rh = max(1, round(self.resize * w / h)), self.resize
+        # Same draw order as transforms.random_crop + hflip.
+        top = int(rng.integers(0, max(rh - self.crop, 0) + 1))
+        left = int(rng.integers(0, max(rw - self.crop, 0) + 1))
+        flip = bool(rng.random() < 0.5)
+        out = decode_resize_crop(data, self.resize, self.crop, top, left,
+                                 flip)
+        return out if out is not None else self._fallback(path, rng)

@@ -46,8 +46,8 @@ def get_args(argv=None):
     parser.add_argument("--workers", type=int, default=16)
     parser.add_argument("--image-size", type=int, default=224)
     parser.add_argument("--model-variant", default="resnet50")
-    parser.add_argument("--reader", default="pil",
-                        choices=("pil", "synthetic"))
+    parser.add_argument("--reader", default="auto",
+                        choices=("auto", "native", "pil", "synthetic"))
     args = parser.parse_args(argv)
     try:
         args.output_directory = args.output_directory.format(args.protocol)

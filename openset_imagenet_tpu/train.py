@@ -322,8 +322,19 @@ def get_arrays(state: TrainState, pipeline: InputPipeline,
 # --------------------------------------------------------------------------
 
 def _make_reader(cfg, crop: int = 224):
-    if getattr(cfg.data, "reader", "pil") == "synthetic":
+    """Reader per ``cfg.data.reader``: auto (default) | native | pil |
+    synthetic.  ``auto`` prefers the native fused libjpeg path
+    (:mod:`openset_imagenet_tpu.native.jpeg`) and falls back to PIL."""
+    kind = getattr(cfg.data, "reader", "auto") or "auto"
+    if kind == "synthetic":
         return SyntheticReader(crop=crop, seed=int(cfg.seed))
+    if kind in ("auto", "native"):
+        from .native.jpeg import NativeReader, native_available
+        if native_available():
+            return NativeReader(crop=crop)
+        if kind == "native":
+            raise RuntimeError("native reader requested but the osijpeg "
+                               "library could not be built")
     return PILReader(crop=crop)
 
 

@@ -1,0 +1,74 @@
+"""Native fused JPEG decoder: parity with the PIL transform path."""
+
+import io
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from openset_imagenet_tpu import transforms as T
+from openset_imagenet_tpu.native import jpeg as nj
+
+pytestmark = pytest.mark.skipif(not nj.native_available(),
+                                reason="osijpeg could not be built")
+
+
+def make_jpeg(w=500, h=375, quality=95):
+    x = np.linspace(0, 255, w)[None, :].repeat(h, 0)
+    y = np.linspace(0, 255, h)[:, None].repeat(w, 1)
+    arr = np.stack([x, y, (x + y) / 2], -1).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, "JPEG", quality=quality)
+    return buf.getvalue()
+
+
+@pytest.mark.parametrize("w,h", [(500, 375), (375, 500), (256, 256),
+                                 (1024, 683), (300, 240)])
+def test_center_crop_matches_pil(w, h):
+    data = make_jpeg(w, h)
+    out = nj.decode_resize_crop(data, 256, 224)
+    assert out is not None and out.shape == (224, 224, 3)
+    ref = T.eval_transform(T.decode_image(data), 224, 256)
+    diff = np.abs(out.astype(int) - ref.astype(int))
+    # DCT-scaled decode + bilinear vs PIL antialiased resize: a few LSB.
+    assert diff.mean() < 1.5, diff.mean()
+    assert np.percentile(diff, 99) <= 6
+
+
+def test_size_probe():
+    data = make_jpeg(320, 240)
+    assert nj.jpeg_size(data) == (320, 240)
+    assert nj.jpeg_size(b"not a jpeg") is None
+
+
+def test_random_crop_and_flip_geometry():
+    data = make_jpeg(500, 375)
+    a = nj.decode_resize_crop(data, 256, 224, top=0, left=0, flip=False)
+    b = nj.decode_resize_crop(data, 256, 224, top=0, left=0, flip=True)
+    np.testing.assert_array_equal(a, b[:, ::-1])
+    c = nj.decode_resize_crop(data, 256, 224, top=10, left=30, flip=False)
+    assert not np.array_equal(a, c)
+
+
+def test_native_reader_interface(tmp_path):
+    from openset_imagenet_tpu.native.jpeg import NativeReader
+
+    data = make_jpeg(400, 300)
+    p = tmp_path / "img.JPEG"
+    p.write_bytes(data)
+    reader = NativeReader(crop=224)
+    ev = reader(str(p), None)
+    assert ev.shape == (224, 224, 3) and ev.dtype == np.uint8
+    tr1 = reader(str(p), T.sample_rng(1, 2, 3))
+    tr2 = reader(str(p), T.sample_rng(1, 2, 3))
+    np.testing.assert_array_equal(tr1, tr2)  # reproducible augmentation
+
+    # Non-JPEG file falls back to PIL (PNG decodes fine there).
+    png = tmp_path / "img.png"
+    Image.fromarray(np.zeros((300, 400, 3), np.uint8)).save(png)
+    out = reader(str(png), None)
+    assert out.shape == (224, 224, 3)
+
+
+def test_corrupt_jpeg_returns_none():
+    assert nj.decode_resize_crop(b"\xff\xd8garbage", 256, 224) is None
