@@ -254,17 +254,25 @@ def make_forward_step(mesh=None) -> Callable:
 
 def train_epoch(state: TrainState, pipeline: InputPipeline, epoch: int,
                 train_step: Callable, trackers) -> TrainState:
-    """One pass over the training set; updates ``trackers['j']``."""
+    """One pass over the training set; updates ``trackers['j']``.
+
+    Also tracks wall-clock throughput in ``trackers['imgs/s']`` (the
+    reference has only epoch timing, ``train.py:411,422`` — per-epoch
+    imgs/sec is the BASELINE.md headline unit so it is first-class here).
+    """
     for m in trackers.values():
         m.reset()
     sums = None
+    t0 = time.time()
     for batch in pipeline.epoch(epoch):
         state, m = train_step(state, batch.images, batch.labels, batch.mask)
         sums = m if sums is None else jax.tree.map(jnp.add, sums, m)
     if sums is not None:
-        count = float(sums["count"])
+        count = float(sums["count"])  # device fetch: drains the epoch
+        elapsed = time.time() - t0
         if count:
             trackers["j"].update(float(sums["loss_sum"]) / count, count)
+            trackers["imgs/s"].update(count / max(elapsed, 1e-9), 1)
     return state
 
 
@@ -454,10 +462,25 @@ def worker(cfg) -> dict:
     writer = SummaryWriter(log_dir=out_dir,
                            filename_suffix="-" + str(cfg.log_name))
 
+    # Optional on-demand profiler trace (SURVEY.md §5: the reference has no
+    # tracing at all); cfg.profile.{dir, epochs} captures XLA/TPU traces
+    # viewable in TensorBoard or Perfetto.
+    profile_cfg = getattr(cfg, "profile", None)
+    profile_dir = getattr(profile_cfg, "dir", None) if profile_cfg else None
+    profile_epochs = set(getattr(profile_cfg, "epochs", [start_epoch])
+                         if profile_cfg else [])
+
     epoch = start_epoch - 1
     for epoch in range(start_epoch, cfg.epochs):
         epoch_time = time.time()
+        profiling = profile_dir is not None and epoch in profile_epochs
+        if profiling:
+            jax.profiler.start_trace(str(profile_dir))
         state = train_epoch(state, train_pipe, epoch, train_step, t_metrics)
+        if profiling:
+            jax.profiler.stop_trace()
+            log.info(f"Profiler trace for epoch {epoch} written to "
+                     f"{profile_dir}")
         train_time = time.time() - epoch_time
 
         validate(state, val_pipe, epoch, eval_step, v_metrics)
@@ -467,6 +490,8 @@ def worker(cfg) -> dict:
         writer.add_scalar("val/loss", v_metrics["j"].avg, epoch)
         writer.add_scalar("val/conf_kn", v_metrics["conf_kn"].avg, epoch)
         writer.add_scalar("val/conf_unk", v_metrics["conf_unk"].avg, epoch)
+        writer.add_scalar("train/imgs_per_sec", t_metrics["imgs/s"].avg,
+                          epoch)
         writer.flush()
 
         val_time = time.time() - train_time - epoch_time
