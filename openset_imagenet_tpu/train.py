@@ -137,8 +137,20 @@ def create_state(model: ResNet50, rng: jax.Array,
 # --------------------------------------------------------------------------
 
 def make_loss_fn(loss_type: str, unk_weight: float = 1.0,
-                 class_weights: Optional[np.ndarray] = None) -> Callable:
-    """Return ``loss_fn(logits, labels, mask) -> (mean_loss, count)``."""
+                 class_weights: Optional[np.ndarray] = None,
+                 fused: bool = False) -> Callable:
+    """Return ``loss_fn(logits, labels, mask) -> (mean_loss, count)``.
+
+    ``fused=True`` selects the Pallas kernel for the entropic loss
+    (:mod:`openset_imagenet_tpu.ops.fused_loss`) — one HBM pass, custom VJP.
+    """
+    if loss_type == "entropic" and fused:
+        from .ops.fused_loss import entropic_openset_loss_fused
+
+        return lambda logits, labels, mask=None: entropic_openset_loss_fused(
+            logits, labels,
+            jnp.ones(labels.shape, jnp.float32) if mask is None else mask,
+            unk_weight)
     if loss_type == "entropic":
         return lambda logits, labels, mask=None: entropic_openset_loss(
             logits, labels, unk_weight=unk_weight, sample_mask=mask)
@@ -393,9 +405,13 @@ def worker(cfg) -> dict:
 
     class_weights = (train_ds.calculate_class_weights()
                      if cfg.loss.type == "garbage" else None)
+    # loss.fused: true | false | auto (default: Pallas kernel on TPU).
+    fused_cfg = getattr(cfg.loss, "fused", "auto")
+    fused = (jax.default_backend() == "tpu" if fused_cfg == "auto"
+             else bool(fused_cfg))
     loss_fn = make_loss_fn(cfg.loss.type,
                            unk_weight=float(getattr(cfg.loss, "w", 1.0)),
-                           class_weights=class_weights)
+                           class_weights=class_weights, fused=fused)
 
     # -- mesh + input pipelines ---------------------------------------------
     # Largest device count that divides the global batch (a 1-sample
