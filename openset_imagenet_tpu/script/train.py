@@ -39,7 +39,9 @@ def get_args(argv=None):
 def main(argv=None):
     args = get_args(argv)
     try:
-        os.nice(args.nice - 20)
+        # Parity with the reference CLI: training runs niced by default
+        # (os.nice(20) unless --nice overrides).
+        os.nice(args.nice)
     except (OSError, AttributeError):
         pass
     cfg = load_yaml(args.configuration)

@@ -265,18 +265,28 @@ def make_forward_step(mesh=None) -> Callable:
 # --------------------------------------------------------------------------
 
 def train_epoch(state: TrainState, pipeline: InputPipeline, epoch: int,
-                train_step: Callable, trackers) -> TrainState:
+                train_step: Callable, trackers,
+                progress: bool = False) -> TrainState:
     """One pass over the training set; updates ``trackers['j']``.
 
     Also tracks wall-clock throughput in ``trackers['imgs/s']`` (the
     reference has only epoch timing, ``train.py:411,422`` — per-epoch
     imgs/sec is the BASELINE.md headline unit so it is first-class here).
+    ``progress`` shows a tqdm bar like the reference's non-parallel mode
+    (``train.py:122-123``).
     """
     for m in trackers.values():
         m.reset()
     sums = None
     t0 = time.time()
-    for batch in pipeline.epoch(epoch):
+    batches = pipeline.epoch(epoch)
+    if progress:
+        try:
+            import tqdm
+            batches = tqdm.tqdm(batches, total=len(pipeline), leave=False)
+        except ImportError:
+            pass
+    for batch in batches:
         state, m = train_step(state, batch.images, batch.labels, batch.mask)
         sums = m if sums is None else jax.tree.map(jnp.add, sums, m)
     if sums is not None:
@@ -425,10 +435,13 @@ def worker(cfg) -> dict:
     image_size = int(getattr(cfg.data, "image_size", 224) or 224)
     reader = _make_reader(cfg, crop=image_size)
     workers = int(getattr(cfg, "workers", 4) or 4)
+    # drop_remainder keeps train batch-norm statistics free of padded rows;
+    # datasets smaller than one batch fall back to a padded+masked batch.
+    drop_remainder = len(train_ds) >= int(cfg.batch_size)
     train_pipe = pipeline_from_dataset(
         train_ds, cfg.batch_size, is_training=True, seed=cfg.seed,
         num_workers=workers, reader=reader, sharding=data_sh,
-        drop_remainder=True)  # static shapes + clean BN stats
+        drop_remainder=drop_remainder)
     val_pipe = pipeline_from_dataset(
         val_ds, cfg.batch_size, is_training=False, seed=cfg.seed,
         num_workers=workers, reader=reader, sharding=data_sh)
@@ -492,7 +505,8 @@ def worker(cfg) -> dict:
         profiling = profile_dir is not None and epoch in profile_epochs
         if profiling:
             jax.profiler.start_trace(str(profile_dir))
-        state = train_epoch(state, train_pipe, epoch, train_step, t_metrics)
+        state = train_epoch(state, train_pipe, epoch, train_step, t_metrics,
+                            progress=not getattr(cfg, "parallel", False))
         if profiling:
             jax.profiler.stop_trace()
             log.info(f"Profiler trace for epoch {epoch} written to "

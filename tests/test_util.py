@@ -1,0 +1,74 @@
+"""util module: dataset_info, read_array_list, get_histogram."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from openset_imagenet_tpu import util
+
+
+def test_dataset_info(tmp_path):
+    for name, labels in (("train", [0, 1, -1, -1]),
+                         ("validation", [0, -1]),
+                         ("test", [0, 1, -1, -2])):
+        pd.DataFrame({0: [f"a/{i}.jpg" for i in range(len(labels))],
+                      1: labels}).to_csv(tmp_path / f"{name}.csv",
+                                         header=False, index=False)
+    df = util.dataset_info(tmp_path)
+    assert list(df["split"]) == ["train", "val", "test"]
+    test_row = df[df["split"] == "test"].iloc[0]
+    assert test_row["size"] == 4
+    assert test_row["kn size"] == 2
+    assert test_row["kn_unk size"] == 1
+    assert test_row["unk_unk size"] == 1
+
+
+def test_read_array_list(tmp_path):
+    np.savez(tmp_path / "entropic_test_arr_curr.npz", gt=np.arange(3))
+    # dict form
+    arrays = util.read_array_list({"e": tmp_path / "entropic_test_arr_curr.npz"})
+    assert list(arrays["e"]["gt"]) == [0, 1, 2]
+    # list form: name = filename minus trailing 8 chars ("curr.npz")
+    arrays = util.read_array_list([str(tmp_path / "entropic_test_arr_curr.npz")])
+    assert "entropic_test_arr_" in arrays
+
+
+def test_get_best_arrays():
+    out = util.get_best_arrays({"a": "x/entropic_curr_arr.npz"})
+    assert str(out["a"]).endswith("entropic_best_arr.npz")
+
+
+def test_get_histogram_score_and_norm():
+    gt = np.array([0, 1, -1, -1])
+    scores = np.array([[0.9, 0.1], [0.3, 0.7], [0.6, 0.4], [0.5, 0.5]])
+    feats = np.array([[3.0, 4.0]] * 4)
+    arr = {"gt": gt, "scores": scores, "features": feats}
+    kn_hist, kn_edges, unk_hist, unk_edges = util.get_histogram(
+        arr, unk_label=-1, metric="score", bins=10)
+    assert kn_hist.sum() == 2 and unk_hist.sum() == 2
+    kn_hist, *_ = util.get_histogram(arr, metric="norm", bins=5)
+    assert kn_hist.sum() == 2
+    with pytest.raises(ValueError):
+        util.get_histogram(arr, metric="nope")
+
+
+def test_get_histogram_drop_bg():
+    gt = np.array([0, -1])
+    scores = np.array([[0.2, 0.3, 0.5], [0.1, 0.2, 0.7]])
+    feats = np.zeros((2, 2))
+    arr = {"gt": gt, "scores": scores, "features": feats}
+    def unk_mass_center(drop_bg):
+        _, _, unk_hist, unk_edges = util.get_histogram(
+            arr, unk_label=-1, bins=4, drop_bg=drop_bg)
+        i = int(np.argmax(unk_hist))
+        return (unk_edges[i] + unk_edges[i + 1]) / 2
+
+    # BG column dropped: unknown max score is 0.2 instead of 0.7.
+    assert abs(unk_mass_center(True) - 0.2) < 0.15
+    assert abs(unk_mass_center(False) - 0.7) < 0.15
+
+
+def test_plot_helpers_lazy_export():
+    assert callable(util.plot_oscr)
+    with pytest.raises(AttributeError):
+        util.nonexistent_helper
