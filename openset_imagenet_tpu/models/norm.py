@@ -1,0 +1,77 @@
+"""Batch normalization with optional subset ("ghost") statistics.
+
+Profiling the ResNet-50 train step on TPU v5e shows that the batch-norm
+statistic reductions — full re-reads of every activation tensor from HBM —
+account for ~half of step time (the convolutions themselves are MXU-bound
+fusions).  ``stats_rows=G`` computes the batch mean/variance from only the
+first ``G`` rows of the batch while still normalizing every row, cutting the
+forward-stats HBM traffic by ``B/G``x.
+
+With the global batch sharded over data-parallel devices this is also
+methodologically closer to the reference: the reference's BN sees 64 samples
+per step (``config/train.yaml:18``); a 256-batch DP run with
+``stats_rows=64`` matches that statistics batch instead of quadrupling it.
+
+``stats_rows=0`` (default) reduces over the full batch — numerically
+identical to ``flax.linen.BatchNorm(use_fast_variance=True)``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class SubsetBatchNorm(nn.Module):
+    """BatchNorm whose batch statistics come from the leading rows only."""
+
+    use_running_average: bool = False
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Any = None
+    param_dtype: Any = jnp.float32
+    stats_rows: int = 0  # 0 -> all rows
+    scale_init: Any = nn.initializers.ones
+    bias_init: Any = nn.initializers.zeros
+
+    @nn.compact
+    def __call__(self, x, use_running_average: Optional[bool] = None):
+        use_ra = nn.merge_param(
+            "use_running_average", self.use_running_average,
+            use_running_average)
+        features = x.shape[-1]
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda s: jnp.zeros(s, jnp.float32),
+                                (features,))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda s: jnp.ones(s, jnp.float32),
+                               (features,))
+        scale = self.param("scale", self.scale_init, (features,),
+                           self.param_dtype)
+        bias = self.param("bias", self.bias_init, (features,),
+                          self.param_dtype)
+
+        if use_ra:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xs = x if self.stats_rows <= 0 else x[:self.stats_rows]
+            xs = xs.astype(jnp.float32)
+            axes = tuple(range(xs.ndim - 1))
+            mean = jnp.mean(xs, axis=axes)
+            # fast variance: E[x^2] - E[x]^2 (single fused pass over xs)
+            mean2 = jnp.mean(jnp.square(xs), axis=axes)
+            var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+            if not self.is_initializing():
+                ra_mean.value = (self.momentum * ra_mean.value +
+                                 (1.0 - self.momentum) * mean)
+                ra_var.value = (self.momentum * ra_var.value +
+                                (1.0 - self.momentum) * var)
+
+        y_dtype = self.dtype or x.dtype
+        inv = jnp.reciprocal(jnp.sqrt(var + self.epsilon))
+        mul = (inv * scale.astype(jnp.float32)).astype(y_dtype)
+        add = (bias.astype(jnp.float32) -
+               mean * inv * scale.astype(jnp.float32)).astype(y_dtype)
+        return x.astype(y_dtype) * mul + add

@@ -55,10 +55,10 @@ class BasicBlock(nn.Module):
         residual = x
         y = conv(self.filters, (3, 3),
                  strides=(self.strides, self.strides))(x)
-        y = self.norm()(y)
+        y = self.norm(name="bn1")(y)
         y = nn.relu(y)
         y = conv(self.filters, (3, 3))(y)
-        y = self.norm(scale_init=nn.initializers.zeros)(y)
+        y = self.norm(scale_init=nn.initializers.zeros, name="bn2")(y)
 
         if residual.shape != y.shape:
             residual = conv(self.filters, (1, 1),
@@ -83,13 +83,13 @@ class Bottleneck(nn.Module):
                        kernel_init=conv_kernel_init)
         residual = x
         y = conv(self.filters, (1, 1))(x)
-        y = self.norm()(y)
+        y = self.norm(name="bn1")(y)
         y = nn.relu(y)
         y = conv(self.filters, (3, 3), strides=(self.strides, self.strides))(y)
-        y = self.norm()(y)
+        y = self.norm(name="bn2")(y)
         y = nn.relu(y)
         y = conv(self.filters * 4, (1, 1))(y)
-        y = self.norm(scale_init=nn.initializers.zeros)(y)
+        y = self.norm(scale_init=nn.initializers.zeros, name="bn3")(y)
 
         if residual.shape != y.shape:
             residual = conv(self.filters * 4, (1, 1),
@@ -116,13 +116,23 @@ class ResNet50(nn.Module):
     stage_sizes: Sequence[int] = (3, 4, 6, 3)
     block: ModuleDef = None  # None -> Bottleneck
     width: int = 64  # filters of the first stage
+    # > 0: batch-norm statistics from the first N batch rows only (ghost
+    # BN; see models/norm.py) — a TPU HBM-bandwidth optimization.
+    bn_stats_rows: int = 0
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        norm = partial(nn.BatchNorm, use_running_average=not train,
-                       momentum=0.9, epsilon=1e-5, dtype=self.dtype,
-                       param_dtype=jnp.float32)
+        if self.bn_stats_rows > 0:
+            from .norm import SubsetBatchNorm
+            norm = partial(SubsetBatchNorm, use_running_average=not train,
+                           momentum=0.9, epsilon=1e-5, dtype=self.dtype,
+                           param_dtype=jnp.float32,
+                           stats_rows=self.bn_stats_rows)
+        else:
+            norm = partial(nn.BatchNorm, use_running_average=not train,
+                           momentum=0.9, epsilon=1e-5, dtype=self.dtype,
+                           param_dtype=jnp.float32)
         x = x.astype(self.dtype)
         x = nn.Conv(self.width, (7, 7), strides=(2, 2),
                     padding=[(3, 3), (3, 3)],
@@ -167,7 +177,8 @@ _VARIANTS = {
 
 def build_resnet(variant: str = "resnet50", *, fc_layer_dim: int,
                  out_features: int, logit_bias: bool = False,
-                 dtype: Any = jnp.bfloat16) -> ResNet50:
+                 dtype: Any = jnp.bfloat16, bn_stats_rows: int = 0
+                 ) -> ResNet50:
     """Construct a two-head ResNet by variant name."""
     if variant not in _VARIANTS:
         raise ValueError(
@@ -176,4 +187,5 @@ def build_resnet(variant: str = "resnet50", *, fc_layer_dim: int,
     return ResNet50(fc_layer_dim=fc_layer_dim, out_features=out_features,
                     logit_bias=logit_bias, dtype=dtype,
                     stage_sizes=spec["stage_sizes"], block=spec["block"],
-                    width=spec.get("width", 64))
+                    width=spec.get("width", 64),
+                    bn_stats_rows=bn_stats_rows)

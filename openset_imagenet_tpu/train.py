@@ -377,8 +377,11 @@ def build_model(cfg, n_classes: int) -> ResNet50:
     model_cfg = getattr(cfg, "model", None)
     variant = (getattr(model_cfg, "variant", "resnet50")
                if model_cfg is not None else "resnet50")
+    bn_rows = int(getattr(model_cfg, "bn_stats_rows", 0) or 0) \
+        if model_cfg is not None else 0
     return build_resnet(variant, fc_layer_dim=n_classes,
-                        out_features=n_classes, logit_bias=False)
+                        out_features=n_classes, logit_bias=False,
+                        bn_stats_rows=bn_rows)
 
 
 def worker(cfg) -> dict:
