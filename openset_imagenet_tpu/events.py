@@ -79,7 +79,16 @@ def read_scalars(log_dir, suffix_filter: str = "") -> dict:
     ``script/plot_all.py:196-206``); falls back to the CSV sidecar.
     """
     log_dir = Path(log_dir)
+    # Last-write-wins per (tag, step): a crash-resumed run re-emits the
+    # resume epoch, and the re-run value must replace the stale one (the
+    # reference dedups the same way via a step-keyed dict,
+    # script/plot_all.py:219-232).
     out: dict = {}
+
+    def record(tag, step, value):
+        out.setdefault(tag, {})[int(step)] = float(value)
+
+    found_events = False
     event_files = sorted(p for p in log_dir.glob("events*")
                          if str(p).endswith(suffix_filter))
     if event_files:
@@ -90,17 +99,16 @@ def read_scalars(log_dir, suffix_filter: str = "") -> dict:
                 acc = EventAccumulator(str(path))
                 acc.Reload()
                 for tag in acc.Tags().get("scalars", []):
-                    out.setdefault(tag, []).extend(
-                        (e.step, e.value) for e in acc.Scalars(tag))
-            if out:
-                return {t: sorted(v) for t, v in out.items()}
+                    for e in acc.Scalars(tag):
+                        record(tag, e.step, e.value)
+            found_events = bool(out)
         except Exception:
-            pass
-    for csv_path in sorted(log_dir.glob("scalars*.csv")):
-        if suffix_filter and suffix_filter not in csv_path.name:
-            continue
-        with open(csv_path, newline="") as f:
-            for row in csv.DictReader(f):
-                out.setdefault(row["tag"], []).append(
-                    (int(row["step"]), float(row["value"])))
-    return {t: sorted(v) for t, v in out.items()}
+            out = {}
+    if not found_events:
+        for csv_path in sorted(log_dir.glob("scalars*.csv")):
+            if suffix_filter and suffix_filter not in csv_path.name:
+                continue
+            with open(csv_path, newline="") as f:
+                for row in csv.DictReader(f):
+                    record(row["tag"], row["step"], row["value"])
+    return {t: sorted(v.items()) for t, v in out.items()}

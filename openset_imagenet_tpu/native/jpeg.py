@@ -132,4 +132,19 @@ class NativeReader:
         flip = bool(rng.random() < 0.5)
         out = decode_resize_crop(data, self.resize, self.crop, top, left,
                                  flip)
-        return out if out is not None else self._fallback(path, rng)
+        if out is not None:
+            return out
+        # Native decode failed after the draws were consumed: replay the
+        # SAME crop/flip via PIL so the augmentation stream stays identical
+        # to the pure-PIL pipeline for this (seed, epoch, index).
+        from .. import transforms as Tr
+        img = Tr.decode_image(data)
+        arr = np.asarray(Tr.resize_shorter_side(img, self.resize),
+                         dtype=np.uint8)
+        if arr.ndim == 2:
+            arr = np.stack([arr] * 3, axis=-1)
+        arr = Tr._pad_to(arr, self.crop)
+        arr = arr[top:top + self.crop, left:left + self.crop]
+        if flip:
+            arr = arr[:, ::-1]
+        return np.ascontiguousarray(arr)

@@ -24,11 +24,14 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 def make_mesh(num_devices: Optional[int] = None,
               axis_names: Sequence[str] = ("data",),
-              devices=None) -> Mesh:
-    """1-D (default) device mesh over the first ``num_devices`` devices.
+              devices=None,
+              axis_sizes: Optional[Sequence[int]] = None) -> Mesh:
+    """Device mesh over the first ``num_devices`` devices.
 
-    With ``axis_names=('data', 'model')`` the devices are reshaped
-    ``(num/model, model)``; the default is pure data parallelism.
+    The default is a 1-D pure data-parallel mesh.  For multi-axis layouts
+    pass ``axis_sizes``, e.g. ``axis_names=('data', 'model'),
+    axis_sizes=(4, 2)`` on 8 devices; sizes must multiply to the device
+    count.
     """
     if devices is None:
         devices = jax.devices()
@@ -37,9 +40,16 @@ def make_mesh(num_devices: Optional[int] = None,
     devs = np.asarray(devices)
     if len(axis_names) == 1:
         return Mesh(devs, axis_names)
-    # Fold extra axes of size 1 unless the caller reshaped already.
-    shape = (len(devs) // np.prod([1]),) + (1,) * (len(axis_names) - 1)
-    return Mesh(devs.reshape(shape), axis_names)
+    if axis_sizes is None:
+        raise ValueError(
+            "multi-axis meshes need explicit axis_sizes, e.g. "
+            "make_mesh(axis_names=('data', 'model'), axis_sizes=(4, 2))")
+    if len(axis_sizes) != len(axis_names) or \
+            int(np.prod(axis_sizes)) != len(devs):
+        raise ValueError(
+            f"axis_sizes {tuple(axis_sizes)} does not tile {len(devs)} "
+            f"devices over axes {tuple(axis_names)}")
+    return Mesh(devs.reshape(tuple(axis_sizes)), axis_names)
 
 
 def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:

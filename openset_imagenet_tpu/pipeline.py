@@ -73,7 +73,10 @@ class SyntheticReader:
         self._cache = {}
 
     def __call__(self, path, rng) -> np.ndarray:
-        key = hash(path) % 64  # small pool: decode cost ~0, realistic bytes
+        import zlib
+        # Stable across processes/runs (unlike built-in hash, which is
+        # randomized per process); small pool keeps decode cost ~0.
+        key = zlib.crc32(str(path).encode()) % 64
         if key not in self._cache:
             self._cache[key] = T.synthetic_image(
                 key, size=(self.crop, self.crop), seed=self.seed)

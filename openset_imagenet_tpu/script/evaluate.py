@@ -95,10 +95,13 @@ def main(argv=None):
                      "data": {"reader": args.reader},
                      "seed": 42})
     model = engine.build_model(cfg, n_classes)
-    tx = engine.build_optimizer(
-        NameSpace({"type": "adam", "lr": 1e-3, "decay": 0, "gamma": 1}), 1)
+    # Evaluation never steps the optimizer: identity avoids allocating
+    # Adam moment buffers (~200 MB for ResNet-50) that restore_opt=False
+    # would discard anyway.
+    import optax
     state = engine.create_state(model, jax.random.PRNGKey(42),
-                                tx, image_size=args.image_size)
+                                optax.identity(),
+                                image_size=args.image_size)
     ckpt = out_dir / f"{args.loss}{suffix}.pth"
     state, start_epoch, best_score = load_checkpoint(ckpt, state,
                                                      restore_opt=False)

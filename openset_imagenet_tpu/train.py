@@ -195,10 +195,14 @@ def make_train_step(loss_fn: Callable, mesh=None) -> Callable:
             loss, count = _as_loss_args(loss_fn, logits, labels, mask)
             return loss, (mutated["batch_stats"], count)
 
-        (loss, (batch_stats, count)), grads = jax.value_and_grad(
+        (loss, (batch_stats, _)), grads = jax.value_and_grad(
             loss_of, has_aux=True)(state.params)
         new_state = state.apply_gradients(grads, batch_stats)
-        return new_state, {"loss_sum": loss * count, "count": count}
+        # Tracker weighting is by batch rows (reference train.py:126,135),
+        # not by the criterion's own normalizer (which for garbage is a
+        # class-weight sum, for softmax the valid-label count).
+        rows = jnp.sum(mask)
+        return new_state, {"loss_sum": loss * rows, "count": rows}
 
     if mesh is not None:
         rep = replicated(mesh)
