@@ -33,8 +33,12 @@ def build(batch_size: int):
     from openset_imagenet_tpu.models.resnet import build_resnet
 
     n_classes = 1000
+    # Optimized-but-faithful profile (see BENCH.md): space-to-depth stem is
+    # arithmetically identical to the 7x7/2 conv; ghost BN statistics use
+    # 64 rows — the reference's own BN batch size (config/train.yaml:18).
     model = build_resnet("resnet50", fc_layer_dim=n_classes,
-                         out_features=n_classes, logit_bias=False)
+                         out_features=n_classes, logit_bias=False,
+                         space_to_depth=True, bn_stats_rows=64)
     tx = engine.build_optimizer(
         NameSpace({"type": "adam", "lr": 1e-3, "decay": 0, "gamma": 1}), 1)
     state = engine.create_state(model, jax.random.PRNGKey(0), tx)

@@ -26,6 +26,7 @@ from __future__ import annotations
 from functools import partial
 from typing import Any, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -37,6 +38,48 @@ conv_kernel_init = nn.initializers.variance_scaling(
 # torch Linear default: kaiming-uniform(a=sqrt(5)) == U(±sqrt(1/fan_in)).
 dense_kernel_init = nn.initializers.variance_scaling(
     1.0 / 3.0, mode="fan_in", distribution="uniform")
+
+
+class SpaceToDepthStem(nn.Module):
+    """7x7/2 stem conv computed in space-to-depth form (TPU MXU-friendly).
+
+    The standard ResNet stem convolves 3 input channels — wasting most of
+    the MXU's contraction lanes.  Packing 2x2 pixel blocks into channels
+    ([B,224,224,3] -> [B,112,112,12]) turns the 7x7-stride-2 conv into an
+    arithmetically *identical* 4x4-stride-1 conv over 12 channels (the
+    MLPerf TPU ResNet trick).  The parameter is kept in the original
+    ``kernel: [7, 7, 3, width]`` layout, so checkpoints are interchangeable
+    with the plain ``nn.Conv`` stem; the 4x4 packed kernel is rebuilt from
+    it inside the step (a few-KB gather XLA folds away).
+
+    Derivation: output tap ``dy in [0, 7)`` maps to packed kernel position
+    ``ky = (dy + 1) // 2`` with sub-pixel ``u = (dy + 1) % 2`` (i.e.
+    ``dy = 2 ky - 1 + u``); position ``(ky=0, u=0)`` falls outside and is
+    zero.  The packed conv uses stride 1 with asymmetric padding (2, 1).
+    """
+
+    features: int = 64
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", conv_kernel_init,
+                            (7, 7, 3, self.features), jnp.float32)
+        b, h, w, c = x.shape
+        # Pack 2x2 spatial blocks into channels: [B,H/2,W/2,4c].
+        x2 = x.reshape(b, h // 2, 2, w // 2, 2, c)
+        x2 = x2.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2,
+                                                    4 * c)
+        # Pack the kernel the same way: [4,4,4c,F], zero where dy/dx = -1.
+        k = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))  # dy+1, dx+1
+        k = k.reshape(4, 2, 4, 2, c, self.features)
+        k = k.transpose(0, 2, 1, 3, 4, 5).reshape(
+            4, 4, 4 * c, self.features)
+        return jax.lax.conv_general_dilated(
+            x2.astype(self.dtype), k.astype(self.dtype),
+            window_strides=(1, 1), padding=((2, 1), (2, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=self.dtype)
 
 
 class BasicBlock(nn.Module):
@@ -119,6 +162,8 @@ class ResNet50(nn.Module):
     # > 0: batch-norm statistics from the first N batch rows only (ghost
     # BN; see models/norm.py) — a TPU HBM-bandwidth optimization.
     bn_stats_rows: int = 0
+    # Space-to-depth stem: identical arithmetic, MXU-friendlier layout.
+    space_to_depth: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True
@@ -134,10 +179,14 @@ class ResNet50(nn.Module):
                            momentum=0.9, epsilon=1e-5, dtype=self.dtype,
                            param_dtype=jnp.float32)
         x = x.astype(self.dtype)
-        x = nn.Conv(self.width, (7, 7), strides=(2, 2),
-                    padding=[(3, 3), (3, 3)],
-                    use_bias=False, dtype=self.dtype,
-                    kernel_init=conv_kernel_init, name="conv_init")(x)
+        if self.space_to_depth:
+            x = SpaceToDepthStem(features=self.width, dtype=self.dtype,
+                                 name="conv_init")(x)
+        else:
+            x = nn.Conv(self.width, (7, 7), strides=(2, 2),
+                        padding=[(3, 3), (3, 3)],
+                        use_bias=False, dtype=self.dtype,
+                        kernel_init=conv_kernel_init, name="conv_init")(x)
         x = norm(name="bn_init")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
@@ -177,8 +226,8 @@ _VARIANTS = {
 
 def build_resnet(variant: str = "resnet50", *, fc_layer_dim: int,
                  out_features: int, logit_bias: bool = False,
-                 dtype: Any = jnp.bfloat16, bn_stats_rows: int = 0
-                 ) -> ResNet50:
+                 dtype: Any = jnp.bfloat16, bn_stats_rows: int = 0,
+                 space_to_depth: bool = False) -> ResNet50:
     """Construct a two-head ResNet by variant name."""
     if variant not in _VARIANTS:
         raise ValueError(
@@ -188,4 +237,5 @@ def build_resnet(variant: str = "resnet50", *, fc_layer_dim: int,
                     logit_bias=logit_bias, dtype=dtype,
                     stage_sizes=spec["stage_sizes"], block=spec["block"],
                     width=spec.get("width", 64),
-                    bn_stats_rows=bn_stats_rows)
+                    bn_stats_rows=bn_stats_rows,
+                    space_to_depth=space_to_depth)

@@ -82,6 +82,55 @@ def calculate_oscr_reference(gt, scores, unk_label=-1):
     return np.array(ccr), np.array(fpr)
 
 
+def calculate_oscr_jax(gt, scores, unk_label: int = -1,
+                       num_thresholds: int = 0):
+    """On-device OSCR: jit-compatible, static-shape variant.
+
+    Instead of the data-dependent ``unique(target_scores)`` threshold set
+    (dynamic shape — not expressible under jit), sweeps either every sorted
+    true-class score (``num_thresholds=0``, length N_known vector with
+    duplicates) or an evenly-spaced quantile subset.  CCR/FPR values at
+    equal thresholds match :func:`calculate_oscr` exactly; duplicated
+    thresholds merely repeat curve points.
+
+    Returns ``(ccr, fpr, taus)`` device arrays.
+    """
+    import jax.numpy as jnp
+
+    gt = jnp.asarray(gt).astype(jnp.int32)
+    scores = jnp.asarray(scores)
+    kn = gt >= 0
+    unk = gt == unk_label
+    total_kn = jnp.maximum(jnp.sum(kn), 1)
+    total_unk = jnp.maximum(jnp.sum(unk), 1)
+
+    num_classes = scores.shape[-1]
+    safe = jnp.clip(gt, 0, num_classes - 1)
+    target_score = jnp.take_along_axis(scores, safe[:, None], axis=-1)[:, 0]
+    pred_ok = (jnp.argmax(scores, axis=-1) == gt) & kn
+    max_score = jnp.max(scores, axis=-1)
+
+    # Threshold set: sorted known true-class scores (padding rows pushed to
+    # +inf so they never enter the finite prefix).
+    taus_all = jnp.sort(jnp.where(kn, target_score, jnp.inf))
+    if num_thresholds and num_thresholds > 0:
+        idx = jnp.linspace(0, scores.shape[0] - 1, num_thresholds)
+        taus = taus_all[idx.astype(jnp.int32)]
+    else:
+        taus = taus_all
+
+    correct = jnp.sort(jnp.where(pred_ok, target_score, jnp.inf))
+    unk_max = jnp.sort(jnp.where(unk, max_score, jnp.inf))
+    n_correct = jnp.sum(pred_ok)
+    n_unk = jnp.sum(unk)
+
+    ccr = (n_correct - jnp.searchsorted(correct, taus, side="right")
+           ).astype(jnp.float32) / total_kn
+    fpr = (n_unk - jnp.searchsorted(unk_max, taus, side="right")
+           ).astype(jnp.float32) / total_unk
+    return ccr, fpr, taus
+
+
 def ccr_at_fpr(ccr: np.ndarray, fpr: np.ndarray, query: float,
                max_rel_error: float = 0.10):
     """CCR at the FPR value nearest to ``query``.

@@ -73,3 +73,40 @@ def test_bg_column_drop_changes_result():
     dropped = calculate_oscr(gt, scores[:, :-1], -1)
     assert (len(full[0]) != len(dropped[0])
             or not np.array_equal(full[0], dropped[0]))
+
+
+def test_on_device_oscr_matches_numpy():
+    from openset_imagenet_tpu.ops.oscr import calculate_oscr_jax
+    import jax
+
+    rng = np.random.default_rng(5)
+    n, c = 300, 7
+    gt = rng.integers(-2, c, n)
+    scores = rng.dirichlet(np.ones(c), size=n)
+    ccr_np, fpr_np = calculate_oscr(gt, scores, unk_label=-1)
+
+    f = jax.jit(lambda g, s: calculate_oscr_jax(g, s, unk_label=-1))
+    ccr_j, fpr_j, taus = f(gt, scores)
+    ccr_j, fpr_j, taus = map(np.asarray, (ccr_j, fpr_j, taus))
+
+    # Values at equal thresholds must agree with the host implementation.
+    kn = gt >= 0
+    target_score = scores[kn, gt[kn]]
+    ref_taus = np.unique(target_score)[:-1]
+    for tau in ref_taus[:: max(1, len(ref_taus) // 25)]:
+        i_np = np.where(ref_taus == tau)[0][0]
+        j = np.where(np.isclose(taus, tau))[0]
+        assert j.size > 0
+        assert np.isclose(ccr_j[j[0]], ccr_np[i_np])
+        assert np.isclose(fpr_j[j[0]], fpr_np[i_np])
+
+
+def test_on_device_oscr_subsampled_thresholds():
+    from openset_imagenet_tpu.ops.oscr import calculate_oscr_jax
+
+    rng = np.random.default_rng(6)
+    gt = rng.integers(-1, 4, 100)
+    scores = rng.dirichlet(np.ones(4), size=100)
+    ccr, fpr, taus = calculate_oscr_jax(gt, scores, num_thresholds=16)
+    assert len(np.asarray(ccr)) == 16
+    assert np.all(np.diff(np.asarray(fpr)) <= 1e-12)  # FPR non-increasing
