@@ -20,7 +20,8 @@ import numpy as np
 from PIL import Image
 
 from openset_imagenet_tpu.pipeline import InputPipeline, PILReader
-from openset_imagenet_tpu.native.jpeg import NativeReader, native_available
+from openset_imagenet_tpu.native.jpeg import (NativeBatchReader,
+                                              NativeReader, native_available)
 
 
 def make_dataset(tmp: Path, n_images=256, size=(500, 375)):
@@ -60,6 +61,7 @@ def main():
         results["pil"] = run(PILReader(), paths)
         if native_available():
             results["native"] = run(NativeReader(), paths)
+            results["native_batch"] = run(NativeBatchReader(), paths)
         for name, rate in results.items():
             print(json.dumps({
                 "metric": f"input_pipeline_throughput_{name}",

@@ -20,11 +20,13 @@
 // Python side drives one call per image from a thread pool.
 
 #include <algorithm>
+#include <atomic>
 #include <cmath>
 #include <csetjmp>
 #include <cstdint>
 #include <cstdio>  // jpeglib.h needs FILE declared first
 #include <cstring>
+#include <thread>
 #include <vector>
 
 #include <jpeglib.h>
@@ -61,6 +63,22 @@ inline void sample_bilinear(const uint8_t* src, int sw, int sh,
     float v = v0 + ay * (v1 - v0);
     out3[c] = static_cast<uint8_t>(v + 0.5f);
   }
+}
+
+bool read_file(const char* path, std::vector<uint8_t>& buf) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return false;
+  std::fseek(f, 0, SEEK_END);
+  long sz = std::ftell(f);
+  std::fseek(f, 0, SEEK_SET);
+  if (sz <= 0) {
+    std::fclose(f);
+    return false;
+  }
+  buf.resize(static_cast<size_t>(sz));
+  bool okr = std::fread(buf.data(), 1, buf.size(), f) == buf.size();
+  std::fclose(f);
+  return okr;
 }
 
 }  // namespace
@@ -156,6 +174,75 @@ int osi_decode_resize_crop(const uint8_t* jpeg, size_t len, int resize,
     }
   }
   return 0;
+}
+
+// Batch loader: decode n JPEG files into one contiguous uint8 batch
+// buffer with an internal thread pool (one fused decode per image).
+//
+// Geometry draws are fractional (utop/uleft in [0,1), mapped to integer
+// offsets from each image's own resized size; < 0 selects a center crop),
+// so the Python side can pre-draw augmentation without knowing image
+// sizes.  ok[i] is set to 1 on success, 0 on failure (caller falls back to
+// PIL for those images).  Returns the number of failures.
+int osi_decode_resize_crop(const uint8_t* jpeg, size_t len, int resize,
+                           int crop, int top, int left, int flip,
+                           uint8_t* out);
+int osi_jpeg_size(const uint8_t* jpeg, size_t len, int* w, int* h);
+
+int osi_decode_batch(const char** paths, int n, const float* utop,
+                     const float* uleft, const uint8_t* flip, int resize,
+                     int crop, int threads, uint8_t* out, uint8_t* ok) {
+  std::atomic<int> next(0);
+  std::atomic<int> failures(0);
+  const size_t stride = static_cast<size_t>(crop) * crop * 3;
+
+  auto work = [&]() {
+    std::vector<uint8_t> buf;
+    for (;;) {
+      const int i = next.fetch_add(1);
+      if (i >= n) break;
+      ok[i] = 0;
+      if (!read_file(paths[i], buf)) {
+        failures.fetch_add(1);
+        continue;
+      }
+      int w = 0, h = 0;
+      if (osi_jpeg_size(buf.data(), buf.size(), &w, &h) != 0) {
+        failures.fetch_add(1);
+        continue;
+      }
+      int rw, rh;
+      if (w <= h) {
+        rw = resize;
+        rh = std::max(1, static_cast<int>(
+            std::lround(static_cast<double>(resize) * h / w)));
+      } else {
+        rh = resize;
+        rw = std::max(1, static_cast<int>(
+            std::lround(static_cast<double>(resize) * w / h)));
+      }
+      int top = -1, left = -1;
+      if (utop && utop[i] >= 0.0f)
+        top = static_cast<int>(utop[i] * (std::max(rh - crop, 0) + 1));
+      if (uleft && uleft[i] >= 0.0f)
+        left = static_cast<int>(uleft[i] * (std::max(rw - crop, 0) + 1));
+      const int fl = flip ? flip[i] : 0;
+      if (osi_decode_resize_crop(buf.data(), buf.size(), resize, crop, top,
+                                 left, fl, out + stride * i) == 0) {
+        ok[i] = 1;
+      } else {
+        failures.fetch_add(1);
+      }
+    }
+  };
+
+  const int n_threads = std::max(1, threads);
+  std::vector<std::thread> pool;
+  pool.reserve(n_threads - 1);
+  for (int t = 1; t < n_threads; ++t) pool.emplace_back(work);
+  work();
+  for (auto& th : pool) th.join();
+  return failures.load();
 }
 
 // Geometry probe: decoded full size -> (w, h); returns 0 on success.

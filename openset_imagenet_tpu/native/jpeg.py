@@ -52,6 +52,12 @@ def load_library():
             lib.osi_jpeg_size.argtypes = [
                 ctypes.c_char_p, ctypes.c_size_t,
                 ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+            lib.osi_decode_batch.restype = ctypes.c_int
+            lib.osi_decode_batch.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+                ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p]
             _lib = lib
         except Exception as exc:  # toolchain/libjpeg missing
             _lib_error = str(exc)
@@ -90,6 +96,101 @@ def jpeg_size(data: bytes):
                          ctypes.byref(h)) != 0:
         return None
     return w.value, h.value
+
+
+def decode_batch(paths, utop=None, uleft=None, flips=None, resize=256,
+                 crop=224, threads: Optional[int] = None):
+    """Decode ``paths`` into one ``uint8 [N, crop, crop, 3]`` batch.
+
+    ``utop``/``uleft`` are per-image fractional crop positions in ``[0, 1)``
+    (or ``< 0`` / ``None`` for center crops); ``flips`` per-image booleans.
+    Runs a C++ thread pool that releases the GIL for the whole batch.
+    Returns ``(images, ok)`` where ``ok[i]`` is False for images that must
+    be decoded by a fallback path.
+    """
+    lib = load_library()
+    if lib is None:
+        return None, None
+    n = len(paths)
+    c_paths = (ctypes.c_char_p * n)(
+        *[str(p).encode() for p in paths])
+    out = np.empty((n, crop, crop, 3), np.uint8)
+    ok = np.zeros(n, np.uint8)
+
+    def as_float_ptr(arr, fill):
+        a = (np.full(n, fill, np.float32) if arr is None
+             else np.asarray(arr, np.float32))
+        return a, a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+    ut, ut_p = as_float_ptr(utop, -1.0)
+    ul, ul_p = as_float_ptr(uleft, -1.0)
+    fl = (np.zeros(n, np.uint8) if flips is None
+          else np.asarray(flips, np.uint8))
+    if threads is None:
+        threads = min(n, os.cpu_count() or 1)
+    lib.osi_decode_batch(
+        c_paths, n, ut_p, ul_p,
+        fl.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        resize, crop, int(threads),
+        out.ctypes.data_as(ctypes.c_void_p),
+        ok.ctypes.data_as(ctypes.c_void_p))
+    return out, ok.astype(bool)
+
+
+class NativeBatchReader:
+    """Whole-batch reader: C++ thread-pool decode, one GIL-free call.
+
+    Augmentation contract: for training, each sample draws
+    ``(u_top, u_left, u_flip)`` as three ``rng.random()`` values from its
+    counter-based stream — reproducible across runs; eval uses center
+    crops.  Per-image failures are replayed through PIL with the same
+    geometry.
+    """
+
+    def __init__(self, crop: int = 224, resize: int = 256,
+                 threads: Optional[int] = None):
+        self.crop = crop
+        self.resize = resize
+        self.threads = threads
+
+    def read_batch(self, paths, rngs) -> np.ndarray:
+        n = len(paths)
+        utop = np.full(n, -1.0, np.float32)
+        uleft = np.full(n, -1.0, np.float32)
+        flips = np.zeros(n, np.uint8)
+        for i, rng in enumerate(rngs):
+            if rng is not None:
+                utop[i] = rng.random()
+                uleft[i] = rng.random()
+                flips[i] = rng.random() < 0.5
+        images, ok = decode_batch(paths, utop, uleft, flips, self.resize,
+                                  self.crop, self.threads)
+        if images is None:  # library unavailable: decode all via PIL
+            images = np.empty((n, self.crop, self.crop, 3), np.uint8)
+            ok = np.zeros(n, bool)
+        for i in np.nonzero(~ok)[0]:
+            images[i] = self._pil_replay(paths[i], utop[i], uleft[i],
+                                         bool(flips[i]))
+        return images
+
+    def _pil_replay(self, path, utop, uleft, flip) -> np.ndarray:
+        from .. import transforms as Tr
+
+        img = Tr.decode_image(path)
+        arr = np.asarray(Tr.resize_shorter_side(img, self.resize),
+                         dtype=np.uint8)
+        if arr.ndim == 2:
+            arr = np.stack([arr] * 3, axis=-1)
+        arr = Tr._pad_to(arr, self.crop)
+        h, w = arr.shape[:2]
+        top = (h - self.crop) // 2 if utop < 0 else \
+            int(utop * (max(h - self.crop, 0) + 1))
+        left = (w - self.crop) // 2 if uleft < 0 else \
+            int(uleft * (max(w - self.crop, 0) + 1))
+        arr = arr[top:top + self.crop, left:left + self.crop]
+        if flip:
+            arr = arr[:, ::-1]
+        return np.ascontiguousarray(arr)
 
 
 class NativeReader:

@@ -155,6 +155,13 @@ class InputPipeline:
                if self.is_training else None)
         return self.reader(self.paths[index], rng)
 
+    def _load_batch(self, idxs: np.ndarray, epoch: int) -> Batch:
+        """Whole-batch load via a ``read_batch`` reader (one GIL-free call)."""
+        rngs = [T.sample_rng(self.seed, epoch, int(i))
+                if self.is_training else None for i in idxs]
+        images = self.reader.read_batch([self.paths[i] for i in idxs], rngs)
+        return self._assemble(idxs, images)
+
     def epoch(self, epoch: int = 0) -> Iterator[Batch]:
         """Yield all batches of one epoch, prefetched onto device."""
         order = self._epoch_order(epoch)
@@ -162,23 +169,34 @@ class InputPipeline:
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        batch_mode = hasattr(self.reader, "read_batch")
+
+        def submit(batch_idx):
+            lo = batch_idx * self.batch_size
+            idxs = order[lo:lo + self.batch_size]
+            if batch_mode:
+                # One future per batch; the reader's own (C++) thread pool
+                # parallelises items and releases the GIL for the call.
+                return idxs, self._pool.submit(self._load_batch, idxs, epoch)
+            return idxs, [self._pool.submit(self._load, i, epoch)
+                          for i in idxs]
+
         def produce():
             try:
-                # Keep up to prefetch+1 batches of item-futures in flight.
+                # Keep up to prefetch+1 batches of futures in flight.
                 window = []
                 b = 0
                 submitted = 0
                 while b < nb and not stop.is_set():
                     while submitted < min(nb, b + self.prefetch + 1):
-                        lo = submitted * self.batch_size
-                        idxs = order[lo:lo + self.batch_size]
-                        futs = [self._pool.submit(self._load, i, epoch)
-                                for i in idxs]
-                        window.append((idxs, futs))
+                        window.append(submit(submitted))
                         submitted += 1
                     idxs, futs = window.pop(0)
-                    imgs = [f.result() for f in futs]
-                    out_q.put(self._assemble(idxs, imgs))
+                    if batch_mode:
+                        out_q.put(futs.result())
+                    else:
+                        imgs = [f.result() for f in futs]
+                        out_q.put(self._assemble(idxs, imgs))
                     b += 1
                 out_q.put(None)
             except BaseException as exc:  # surface worker errors to consumer
@@ -207,7 +225,8 @@ class InputPipeline:
     def _assemble(self, idxs: np.ndarray, imgs) -> Batch:
         n = len(idxs)
         bs = self.batch_size
-        images = np.stack(imgs)
+        images = (imgs if isinstance(imgs, np.ndarray) and imgs.ndim == 4
+                  else np.stack(imgs))
         labels = self.labels[idxs]
         mask = np.ones(n, dtype=np.float32)
         if n < bs:  # pad final ragged batch to the static shape

@@ -362,11 +362,16 @@ def _make_reader(cfg, crop: int = 224):
     kind = getattr(cfg.data, "reader", "auto") or "auto"
     if kind == "synthetic":
         return SyntheticReader(crop=crop, seed=int(cfg.seed))
-    if kind in ("auto", "native"):
-        from .native.jpeg import NativeReader, native_available
+    if kind in ("auto", "native", "native_batch"):
+        from .native.jpeg import (NativeBatchReader, NativeReader,
+                                  native_available)
         if native_available():
+            # Batch mode: one GIL-free C++ thread-pool call per batch.
+            if kind in ("auto", "native_batch"):
+                workers = int(getattr(cfg, "workers", 16) or 16)
+                return NativeBatchReader(crop=crop, threads=workers)
             return NativeReader(crop=crop)
-        if kind == "native":
+        if kind != "auto":
             raise RuntimeError("native reader requested but the osijpeg "
                                "library could not be built")
     return PILReader(crop=crop)
