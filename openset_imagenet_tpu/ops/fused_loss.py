@@ -38,22 +38,24 @@ def _interpret() -> bool:
 
 def _fwd_kernel(logits_ref, labels_ref, mask_ref, loss_ref, count_ref, *,
                 unk_weight: float):
+    # All per-row quantities stay [TB, 1] (2-D) — Mosaic rejects several
+    # 1-D vector reductions ("Not implemented: Offset change").
     l = logits_ref[:].astype(jnp.float32)          # [TB, C]
-    labels = labels_ref[:]                          # [TB]
-    mask = mask_ref[:].astype(jnp.float32)          # [TB]
+    labels = labels_ref[:]                          # [TB, 1]
+    mask = mask_ref[:].astype(jnp.float32)          # [TB, 1]
     tb, c = l.shape
 
-    m = jnp.max(l, axis=-1, keepdims=True)
-    lse = (m[:, 0] + jnp.log(jnp.sum(jnp.exp(l - m), axis=-1)))  # [TB]
+    m = jnp.max(l, axis=-1, keepdims=True)          # [TB, 1]
+    lse = m + jnp.log(jnp.sum(jnp.exp(l - m), axis=-1, keepdims=True))
 
-    known = labels >= 0
+    known = labels >= 0                             # [TB, 1]
     col = jax.lax.broadcasted_iota(jnp.int32, (tb, c), 1)
-    onehot_logit = jnp.sum(
-        jnp.where(col == labels[:, None], l, 0.0), axis=-1)      # l_y
-    uniform_dot = (unk_weight / c) * jnp.sum(l, axis=-1)         # (w/C)·l
+    onehot_logit = jnp.sum(jnp.where(col == labels, l, 0.0), axis=-1,
+                           keepdims=True)           # l_y
+    uniform_dot = (unk_weight / c) * jnp.sum(l, axis=-1, keepdims=True)
     t_sum = jnp.where(known, 1.0, unk_weight)
     t_dot = jnp.where(known, onehot_logit, uniform_dot)
-    row_loss = (t_sum * lse - t_dot) * mask
+    row_loss = (t_sum * lse - t_dot) * mask         # [TB, 1]
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
@@ -66,23 +68,22 @@ def _fwd_kernel(logits_ref, labels_ref, mask_ref, loss_ref, count_ref, *,
 
 def _bwd_kernel(logits_ref, labels_ref, mask_ref, scale_ref, grad_ref, *,
                 unk_weight: float):
-    l = logits_ref[:].astype(jnp.float32)
-    labels = labels_ref[:]
-    mask = mask_ref[:].astype(jnp.float32)
-    scale = scale_ref[0, 0]                         # g / count
+    l = logits_ref[:].astype(jnp.float32)           # [TB, C]
+    labels = labels_ref[:]                           # [TB, 1]
+    mask = mask_ref[:].astype(jnp.float32)           # [TB, 1]
+    scale = scale_ref[0, 0]                           # g / count
     tb, c = l.shape
 
     m = jnp.max(l, axis=-1, keepdims=True)
     e = jnp.exp(l - m)
-    p = e / jnp.sum(e, axis=-1, keepdims=True)      # softmax
+    p = e / jnp.sum(e, axis=-1, keepdims=True)       # softmax
 
-    known = labels >= 0
+    known = labels >= 0                               # [TB, 1]
     col = jax.lax.broadcasted_iota(jnp.int32, (tb, c), 1)
-    onehot = (col == labels[:, None]).astype(jnp.float32)
-    targets = jnp.where(known[:, None], onehot,
-                        jnp.full_like(p, unk_weight / c))
-    t_sum = jnp.where(known, 1.0, unk_weight)[:, None]
-    grad = (t_sum * p - targets) * (mask * scale)[:, None]
+    onehot = (col == labels).astype(jnp.float32)
+    targets = jnp.where(known, onehot, jnp.full_like(p, unk_weight / c))
+    t_sum = jnp.where(known, 1.0, unk_weight)
+    grad = (t_sum * p - targets) * (mask * scale)
     grad_ref[:] = grad.astype(grad_ref.dtype)
 
 
@@ -100,8 +101,8 @@ def _fused_sums(logits, labels, mask, unk_weight):
     tb = min(_BLOCK_ROWS, b)
     nb = pl.cdiv(b, tb)
     logits_p = _pad_rows(logits, nb * tb)
-    labels_p = _pad_rows(labels, nb * tb)
-    mask_p = _pad_rows(mask.astype(jnp.float32), nb * tb)
+    labels_p = _pad_rows(labels, nb * tb).reshape(-1, 1)
+    mask_p = _pad_rows(mask.astype(jnp.float32), nb * tb).reshape(-1, 1)
 
     loss, count = pl.pallas_call(
         functools.partial(_fwd_kernel, unk_weight=float(unk_weight)),
@@ -109,8 +110,10 @@ def _fused_sums(logits, labels, mask, unk_weight):
         in_specs=[
             pl.BlockSpec((tb, c), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb,), lambda i: (i,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb,), lambda i: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, 1), lambda i: (0, 0),
@@ -131,8 +134,8 @@ def _fused_grad(logits, labels, mask, scale, unk_weight):
     tb = min(_BLOCK_ROWS, b)
     nb = pl.cdiv(b, tb)
     logits_p = _pad_rows(logits, nb * tb)
-    labels_p = _pad_rows(labels, nb * tb)
-    mask_p = _pad_rows(mask.astype(jnp.float32), nb * tb)
+    labels_p = _pad_rows(labels, nb * tb).reshape(-1, 1)
+    mask_p = _pad_rows(mask.astype(jnp.float32), nb * tb).reshape(-1, 1)
     scale_arr = jnp.asarray(scale, jnp.float32).reshape(1, 1)
 
     grad = pl.pallas_call(
@@ -141,8 +144,10 @@ def _fused_grad(logits, labels, mask, scale, unk_weight):
         in_specs=[
             pl.BlockSpec((tb, c), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb,), lambda i: (i,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb,), lambda i: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
