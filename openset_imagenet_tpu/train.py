@@ -144,13 +144,24 @@ def make_loss_fn(loss_type: str, unk_weight: float = 1.0,
     ``fused=True`` selects the Pallas kernel for the entropic loss
     (:mod:`openset_imagenet_tpu.ops.fused_loss`) — one HBM pass, custom VJP.
     """
-    if loss_type == "entropic" and fused:
-        from .ops.fused_loss import entropic_openset_loss_fused
+    if fused:
+        from .ops import fused_loss as fl
 
-        return lambda logits, labels, mask=None: entropic_openset_loss_fused(
-            logits, labels,
-            jnp.ones(labels.shape, jnp.float32) if mask is None else mask,
-            unk_weight)
+        if loss_type == "entropic":
+            return lambda logits, labels, mask=None: \
+                fl.entropic_openset_loss_fused(
+                    logits, labels,
+                    jnp.ones(labels.shape, jnp.float32) if mask is None
+                    else mask, unk_weight)
+        if loss_type == "softmax":
+            return lambda logits, labels, mask=None: fl.softmax_loss_fused(
+                logits, labels, sample_mask=mask)
+        if loss_type == "garbage":
+            if class_weights is None:
+                raise ValueError("garbage loss requires class_weights")
+            w = jnp.asarray(class_weights, jnp.float32)
+            return lambda logits, labels, mask=None: fl.garbage_loss_fused(
+                logits, labels, w, sample_mask=mask)
     if loss_type == "entropic":
         return lambda logits, labels, mask=None: entropic_openset_loss(
             logits, labels, unk_weight=unk_weight, sample_mask=mask)

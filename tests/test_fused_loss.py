@@ -83,3 +83,43 @@ def test_under_jit_and_in_train_step():
     mean, count = f(logits)
     ref_mean, _ = entropic_openset_loss(logits, labels, sample_mask=mask)
     np.testing.assert_allclose(float(mean), float(ref_mean), rtol=1e-5)
+
+
+@pytest.mark.parametrize("c", [8, 116])
+def test_softmax_fused_matches_reference(c):
+    from openset_imagenet_tpu.ops.fused_loss import softmax_loss_fused
+    from openset_imagenet_tpu.ops.losses import softmax_loss
+
+    logits, labels, mask = make_batch(c=c, seed=7)
+    ref_m, ref_c = softmax_loss(logits, labels, sample_mask=mask)
+    got_m, got_c = softmax_loss_fused(logits, labels, sample_mask=mask)
+    assert float(got_c) == float(ref_c)
+    np.testing.assert_allclose(float(got_m), float(ref_m), rtol=1e-5)
+    g_ref = jax.grad(lambda lg: softmax_loss(lg, labels,
+                                             sample_mask=mask)[0])(logits)
+    g_got = jax.grad(lambda lg: softmax_loss_fused(
+        lg, labels, sample_mask=mask)[0])(logits)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.parametrize("c", [8, 116])
+def test_garbage_fused_matches_reference(c):
+    from openset_imagenet_tpu.ops.fused_loss import garbage_loss_fused
+    from openset_imagenet_tpu.ops.losses import garbage_loss
+
+    rng = np.random.default_rng(9)
+    logits = jnp.asarray(rng.normal(size=(24, c)).astype(np.float32) * 2)
+    labels = jnp.asarray(rng.integers(0, c, 24).astype(np.int32))
+    mask = jnp.asarray((rng.random(24) > 0.2).astype(np.float32))
+    w = jnp.asarray(rng.uniform(0.5, 2.0, c).astype(np.float32))
+    ref_m, ref_c = garbage_loss(logits, labels, w, sample_mask=mask)
+    got_m, got_c = garbage_loss_fused(logits, labels, w, sample_mask=mask)
+    np.testing.assert_allclose(float(got_c), float(ref_c), rtol=1e-6)
+    np.testing.assert_allclose(float(got_m), float(ref_m), rtol=1e-5)
+    g_ref = jax.grad(lambda lg: garbage_loss(lg, labels, w,
+                                             sample_mask=mask)[0])(logits)
+    g_got = jax.grad(lambda lg: garbage_loss_fused(
+        lg, labels, w, sample_mask=mask)[0])(logits)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-6)
