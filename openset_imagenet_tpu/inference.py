@@ -1,0 +1,100 @@
+"""Serving-side inference: checkpoint -> open-set predictions.
+
+The reference stops at score extraction for offline evaluation
+(``script/evaluate.py``); this module adds the deployment path: load a
+trained ``_best``/``_curr`` checkpoint once, jit the forward pass, and
+classify batches of images with open-set rejection — either by softmax
+threshold or by the objectosphere ``||feature|| * score`` rule
+(reference ``metrics.py:45-62``).
+
+Rejected samples are labeled ``-1``, matching the protocol convention.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class OpenSetPredictor:
+    """Batched open-set classifier around a trained two-head ResNet."""
+
+    def __init__(self, checkpoint, n_classes: int, variant: str = "resnet50",
+                 image_size: int = 224, threshold: float = 0.0,
+                 mode: str = "softmax", has_background: bool = False):
+        """Args:
+            checkpoint: path to a ``.pth`` checkpoint from training.
+            n_classes: logits dimensionality the model was trained with
+                (garbage models include their background class).
+            variant: ResNet variant name.
+            image_size: crop size the model expects.
+            threshold: rejection threshold; 0 disables rejection.
+            mode: 'softmax' (reject if max softmax < threshold) or
+                'objectosphere' (reject if ||feat|| * max softmax <
+                threshold, reference metrics.py:45-62).
+            has_background: garbage-regime model — the background column is
+                excluded from the class decision and its index never
+                predicted.
+        """
+        import optax
+
+        from . import train as engine
+        from .checkpoint import load_checkpoint
+        from .config import NameSpace
+
+        cfg = NameSpace({"model": {"variant": variant}, "seed": 0,
+                         "data": {}})
+        model = engine.build_model(cfg, n_classes)
+        state = engine.create_state(model, jax.random.PRNGKey(0),
+                                    optax.identity(),
+                                    image_size=image_size)
+        state, _, _ = load_checkpoint(checkpoint, state, restore_opt=False)
+        self._state = state
+        self._forward = engine.make_forward_step(None)
+        self.image_size = image_size
+        self.threshold = float(threshold)
+        self.mode = mode
+        self.has_background = has_background
+        self._reader = None
+
+    # -- image loading -------------------------------------------------------
+    def _load_images(self, inputs) -> np.ndarray:
+        if isinstance(inputs, np.ndarray):
+            return inputs
+        if self._reader is None:
+            from .pipeline import PILReader
+            try:
+                from .native.jpeg import NativeReader, native_available
+                self._reader = (NativeReader(crop=self.image_size)
+                                if native_available()
+                                else PILReader(crop=self.image_size))
+            except Exception:
+                self._reader = PILReader(crop=self.image_size)
+        return np.stack([self._reader(p, None) for p in inputs])
+
+    # -- prediction -----------------------------------------------------------
+    def predict(self, inputs: Iterable, return_features: bool = False):
+        """Classify images (paths or a uint8 ``[N, H, W, 3]`` array).
+
+        Returns ``(pred_class, pred_score)`` (+ features); rejected samples
+        get class ``-1``.
+        """
+        images = self._load_images(inputs)
+        logits, features, scores = self._forward(self._state, images)
+        scores = np.asarray(scores)
+        features = np.asarray(features)
+        class_scores = scores[:, :-1] if self.has_background else scores
+        pred = np.argmax(class_scores, axis=-1)
+        conf = np.max(class_scores, axis=-1)
+        if self.threshold > 0:
+            if self.mode == "objectosphere":
+                measure = np.linalg.norm(features, axis=-1) * conf
+            else:
+                measure = conf
+            pred = np.where(measure < self.threshold, -1, pred)
+        if return_features:
+            return pred, conf, features
+        return pred, conf

@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import pathlib
 import random
+import signal
 import time
 from collections import defaultdict
 from functools import partial
@@ -74,6 +75,41 @@ def set_seeds(seed: int) -> jax.Array:
 # --------------------------------------------------------------------------
 # Train state
 # --------------------------------------------------------------------------
+
+class GracefulShutdown:
+    """Preemption handling: SIGTERM/SIGUSR1 request a clean stop.
+
+    TPU VMs deliver SIGTERM on preemption; the reference can only recover
+    by re-attaching to the last ``_curr`` checkpoint after the fact
+    (``--continue-training``, reference ``script/train_all.py:60-64``).
+    Here the signal lets the current epoch finish, its checkpoint land, and
+    the run exit cleanly — resume then loses zero completed work.
+    """
+
+    def __init__(self, signals=(signal.SIGTERM, signal.SIGUSR1)):
+        self.requested = False
+        self._previous = {}
+        self._signals = signals
+
+    def _handler(self, signum, frame):
+        self.requested = True
+
+    def __enter__(self):
+        for sig in self._signals:
+            try:
+                self._previous[sig] = signal.signal(sig, self._handler)
+            except (ValueError, OSError):  # non-main thread / restricted
+                pass
+        return self
+
+    def __exit__(self, *exc):
+        for sig, prev in self._previous.items():
+            try:
+                signal.signal(sig, prev)
+            except (ValueError, OSError):
+                pass
+        return False
+
 
 class TrainState(struct.PyTreeNode):
     """Model + optimizer state carried through the jitted step.
@@ -525,6 +561,7 @@ def worker(cfg) -> dict:
                          if profile_cfg else [])
 
     epoch = start_epoch - 1
+    shutdown = GracefulShutdown().__enter__()
     for epoch in range(start_epoch, cfg.epochs):
         epoch_time = time.time()
         profiling = profile_dir is not None and epoch in profile_epochs
@@ -569,6 +606,12 @@ def worker(cfg) -> dict:
                 log.info("early stop")
                 break
 
+        if shutdown.requested:
+            log.info(f"shutdown requested; stopped cleanly after epoch "
+                     f"{epoch} (resume from {cfg.name}_curr.pth)")
+            break
+
+    shutdown.__exit__()
     train_pipe.close()
     val_pipe.close()
     writer.close()

@@ -1,0 +1,86 @@
+"""Serving path: OpenSetPredictor from a trained checkpoint + preemption."""
+
+import os
+import signal
+import threading
+
+import numpy as np
+import pytest
+
+from openset_imagenet_tpu import train as engine
+from tests.test_engine import tiny_cfg, write_protocol_csvs
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    root = tmp_path_factory.mktemp("serve")
+    write_protocol_csvs(root)
+    cfg = tiny_cfg(root, "entropic", epochs=1)
+    engine.worker(cfg)
+    return root, cfg
+
+
+def test_predictor_classifies_and_rejects(trained):
+    from openset_imagenet_tpu.inference import OpenSetPredictor
+
+    root, cfg = trained
+    ckpt = cfg.output_directory / "entropic_best.pth"
+    pred = OpenSetPredictor(ckpt, n_classes=3, variant="tiny",
+                            image_size=32)
+    images = np.random.default_rng(0).integers(
+        0, 256, (8, 32, 32, 3), np.uint8)
+    classes, scores = pred.predict(images)
+    assert classes.shape == (8,)
+    assert np.all((classes >= 0) & (classes < 3))
+    assert np.all((scores > 0) & (scores <= 1))
+
+    # Impossible threshold rejects everything.
+    pred_rej = OpenSetPredictor(ckpt, n_classes=3, variant="tiny",
+                                image_size=32, threshold=1.1)
+    classes, _ = pred_rej.predict(images)
+    assert np.all(classes == -1)
+
+    # Objectosphere mode + features.
+    pred_os = OpenSetPredictor(ckpt, n_classes=3, variant="tiny",
+                               image_size=32, threshold=1e9,
+                               mode="objectosphere")
+    classes, scores, feats = pred_os.predict(images, return_features=True)
+    assert feats.shape == (8, 3)
+    assert np.all(classes == -1)
+
+
+def test_garbage_predictor_excludes_background(trained):
+    from openset_imagenet_tpu.inference import OpenSetPredictor
+
+    root, _ = trained
+    cfg = tiny_cfg(root, "garbage", epochs=1)
+    engine.worker(cfg)
+    ckpt = cfg.output_directory / "garbage_best.pth"
+    pred = OpenSetPredictor(ckpt, n_classes=4, variant="tiny",
+                            image_size=32, has_background=True)
+    images = np.random.default_rng(1).integers(
+        0, 256, (6, 32, 32, 3), np.uint8)
+    classes, _ = pred.predict(images)
+    assert np.all(classes < 3)  # background index (3) never predicted
+
+
+def test_sigterm_stops_after_epoch(trained, tmp_path):
+    """SIGTERM mid-run: the loop exits after the current epoch cleanly."""
+    root, _ = trained
+    cfg = tiny_cfg(root, "entropic", epochs=50)
+    cfg.output_directory = tmp_path / "preempt"
+
+    # Deliver SIGTERM to ourselves shortly after training starts.
+    timer = threading.Timer(3.0, lambda: os.kill(os.getpid(),
+                                                 signal.SIGTERM))
+    timer.start()
+    try:
+        info = engine.worker(cfg)
+    finally:
+        timer.cancel()
+    # Far fewer than 50 epochs ran; the run finished cleanly with a _curr
+    # checkpoint for resume.
+    assert info["last_epoch"] < 49
+    assert (tmp_path / "preempt" / "entropic_curr.pth").exists()
+    log_text = (tmp_path / "preempt" / "training.log").read_text()
+    assert "shutdown requested" in log_text

@@ -46,18 +46,26 @@ def test_param_count_matches_torchvision_formula():
     Linear(2048, D) and adds Linear(D, K, bias=False)."""
     D = K = 116  # protocol-1 entropic class count
     model = ResNet50(fc_layer_dim=D, out_features=K, logit_bias=False)
-    variables, _ = _init(model, (1, 32, 32, 3))
+    # eval_shape avoids an expensive full-ResNet XLA compile on CPU.
+    variables = jax.eval_shape(
+        lambda r, x: model.init(r, x, train=False),
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3), jnp.float32))
     n = _param_count(variables["params"])
     backbone_with_fc = 23508032 + (2048 * D + D)
     expected = backbone_with_fc + D * K
     assert n == expected
 
 
+def _shape_init(model, shape=(1, 32, 32, 3)):
+    return jax.eval_shape(lambda r, x: model.init(r, x, train=False),
+                          jax.random.PRNGKey(0), jnp.zeros(shape, jnp.float32))
+
+
 def test_logit_bias_flag():
     m1 = ResNet50(fc_layer_dim=8, out_features=8, logit_bias=True)
     m2 = ResNet50(fc_layer_dim=8, out_features=8, logit_bias=False)
-    v1, _ = _init(m1, (1, 32, 32, 3))
-    v2, _ = _init(m2, (1, 32, 32, 3))
+    v1 = _shape_init(m1)
+    v2 = _shape_init(m2)
     assert "bias" in v1["params"]["logits"]
     assert "bias" not in v2["params"]["logits"]
 
@@ -65,8 +73,7 @@ def test_logit_bias_flag():
 def test_stride_reduction_structure():
     """Input 224 -> 7x7 feature map before the global pool (stride 32)."""
     model = ResNet50(fc_layer_dim=4, out_features=4)
-    x = jnp.zeros((1, 224, 224, 3))
-    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    variables = _shape_init(model, (1, 224, 224, 3))
     # count batch_stats collections: 53 BN layers in resnet50
     bn_leaves = jax.tree_util.tree_leaves(variables["batch_stats"])
     assert len(bn_leaves) == 53 * 2  # mean + var each
