@@ -19,6 +19,12 @@ from .ops.oscr import calculate_oscr
 TAB10 = matplotlib.colormaps["tab10"].colors
 
 
+def _legend_ax(axs, preferred_index: int):
+    """Legend host axis; clamps for small grids (1x1 single-run reports
+    would index out of bounds — a latent reference crash, plot_all.py:260)."""
+    return axs[preferred_index] if len(axs) >= -preferred_index else axs[-1]
+
+
 def style_oscr_axis(ax, scale: str):
     """Axis scales/limits/ticks per reference ``util.py:129-155``."""
     if scale == "log":
@@ -123,9 +129,10 @@ def oscr_figure(scores, protocols, loss_functions, labels, scale="semilog",
                       font, axs[i + n_cols], unk_label=-2)
         legend = list(labels)
 
-    axs[-n_cols].legend(legend, frameon=False, fontsize=font - 1,
-                        bbox_to_anchor=(0.8, -0.12), ncol=3,
-                        handletextpad=0.5, columnspacing=1, markerscale=3)
+    _legend_ax(axs, -n_cols).legend(
+        legend, frameon=False, fontsize=font - 1,
+        bbox_to_anchor=(0.8, -0.12), ncol=3,
+        handletextpad=0.5, columnspacing=1, markerscale=3)
     for ax in axs:
         ax.label_outer()
         ax.grid(axis="x", linestyle=":", linewidth=1, color="gainsboro")
@@ -169,9 +176,10 @@ def confidence_figure(curves, protocols, loss_functions, labels):
         ax_kn.set_title(f"$P_{protocol}$ Known", fontsize=font)
         ax_unk.set_title(f"$P_{protocol}$ Negative", fontsize=font)
 
-    axs[-2].legend(labels, frameon=False, fontsize=font - 1,
-                   bbox_to_anchor=(0.8, -0.1), ncol=3, handletextpad=0.5,
-                   columnspacing=1)
+    _legend_ax(axs, -2).legend(
+        labels, frameon=False, fontsize=font - 1,
+        bbox_to_anchor=(0.8, -0.1), ncol=3, handletextpad=0.5,
+        columnspacing=1)
     for ax in axs:
         ax.tick_params(which="both", bottom=True, top=True, left=True,
                        right=True, direction="in")
@@ -230,8 +238,9 @@ def softmax_figure(scores, protocols, loss_functions, labels, bins=30,
                        labelright=False, labelsize=font)
         ax.yaxis.set_major_locator(ticker.MaxNLocator(6))
         ax.label_outer()
-    axs[-2].legend(["Known", "Unknown"], frameon=False, fontsize=font - 1,
-                   bbox_to_anchor=(0.2, -0.08), ncol=2, handletextpad=0.3,
-                   columnspacing=1, markerscale=1)
+    _legend_ax(axs, -2).legend(
+        ["Known", "Unknown"], frameon=False, fontsize=font - 1,
+        bbox_to_anchor=(0.2, -0.08), ncol=2, handletextpad=0.3,
+        columnspacing=1, markerscale=1)
     fig.text(0.5, 0.02, "Score", ha="center", fontsize=font)
     return fig

@@ -125,3 +125,18 @@ def test_train_all_continue_probes_checkpoint(trained_runs, tmp_path):
           "--continue-training", "--dry-run"])
     run_cfg = load_yaml(out / "entropic.yaml")
     assert str(run_cfg.checkpoint).endswith("entropic_curr.pth")
+
+
+def test_plot_cli_single_run_grid(trained_runs, tmp_path, monkeypatch):
+    """1 protocol x 1 loss must not crash the legend placement."""
+    root, out = trained_runs
+    from openset_imagenet_tpu.script.plot_all import main
+
+    monkeypatch.chdir(tmp_path)
+    main(["--protocols", "1", "--loss-functions", "entropic",
+          "--labels", "EOS",
+          "--output-directory", str(out.parent),
+          "--imagenet-directory", str(root),
+          "--protocol-directory", str(root)])
+    assert Path("Results_last.pdf").exists()
+    assert Path("Results_last.tex").read_text().count("\\\\") == 1
