@@ -12,10 +12,10 @@ Rejected samples are labeled ``-1``, matching the protocol convention.
 
 from __future__ import annotations
 
-from typing import Iterable, Optional
+from typing import Iterable
 
 import jax
-import jax.numpy as jnp
+
 import numpy as np
 
 

@@ -39,7 +39,7 @@ import random
 import signal
 import time
 from collections import defaultdict
-from functools import partial
+
 from typing import Any, Callable, Optional, Tuple
 
 import jax

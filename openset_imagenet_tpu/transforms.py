@@ -24,7 +24,7 @@ global-torch-RNG transforms.
 from __future__ import annotations
 
 import io
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 
