@@ -99,8 +99,12 @@ class InputPipeline:
         sharding: optional ``jax.sharding.Sharding`` for direct sharded
             placement; None keeps batches as host numpy (tests).
         prefetch: batches kept in flight ahead of the consumer.
-        process_index / process_count: multi-host data sharding — each
-            process reads ``indices[process_index::process_count]``.
+        process_index / process_count: multi-host SPMD loading.  Every
+            process computes the same global batch order; each decodes only
+            its contiguous ``batch_size / process_count`` slice of every
+            batch and contributes it to the global array via
+            ``jax.make_array_from_process_local_data``.  Single-process
+            (the default) bypasses all of this.
     """
 
     def __init__(self, paths, labels, batch_size: int, is_training: bool,
@@ -120,8 +124,13 @@ class InputPipeline:
         self.sharding = sharding
         self.prefetch = max(1, int(prefetch))
         self.drop_remainder = bool(drop_remainder)
-        self.process_index = process_index
-        self.process_count = process_count
+        self.process_index = int(process_index)
+        self.process_count = int(process_count)
+        if self.batch_size % self.process_count:
+            raise ValueError(
+                f"global batch {self.batch_size} not divisible by "
+                f"process_count {self.process_count}")
+        self._local_rows = self.batch_size // self.process_count
         self._pool = ThreadPoolExecutor(
             max_workers=self.num_workers,
             thread_name_prefix="osi-decode")
@@ -129,13 +138,11 @@ class InputPipeline:
     # -- sizing ------------------------------------------------------------
     @property
     def num_samples(self) -> int:
-        n = len(self.paths)
-        per_proc = n // self.process_count
-        rem = n % self.process_count
-        return per_proc + (1 if self.process_index < rem else 0)
+        """Global sample count (all processes see the same batches)."""
+        return len(self.paths)
 
     def __len__(self) -> int:
-        """Batches per epoch."""
+        """Global batches per epoch (identical on every process)."""
         n = self.num_samples
         if self.drop_remainder:
             return n // self.batch_size
@@ -143,12 +150,23 @@ class InputPipeline:
 
     # -- epoch iteration ----------------------------------------------------
     def _epoch_order(self, epoch: int) -> np.ndarray:
+        """Global sample order; identical on every process (same seed)."""
         n = len(self.paths)
         if self.is_training:
-            order = T.philox(self.seed, epoch, 0, 2).permutation(n)
-        else:
-            order = np.arange(n)
-        return order[self.process_index::self.process_count]
+            return T.philox(self.seed, epoch, 0, 2).permutation(n)
+        return np.arange(n)
+
+    def _local_slice(self, order: np.ndarray, batch_idx: int) -> np.ndarray:
+        """This process's rows of global batch ``batch_idx`` (-1 = pad)."""
+        lo = batch_idx * self.batch_size
+        global_idxs = order[lo:lo + self.batch_size]
+        if len(global_idxs) < self.batch_size:
+            pad = self.batch_size - len(global_idxs)
+            global_idxs = np.concatenate(
+                [global_idxs, np.full(pad, -1, global_idxs.dtype)])
+        lr = self._local_rows
+        return global_idxs[self.process_index * lr:
+                           (self.process_index + 1) * lr]
 
     def _load(self, index: int, epoch: int) -> np.ndarray:
         rng = (T.sample_rng(self.seed, epoch, int(index))
@@ -157,9 +175,10 @@ class InputPipeline:
 
     def _load_batch(self, idxs: np.ndarray, epoch: int) -> Batch:
         """Whole-batch load via a ``read_batch`` reader (one GIL-free call)."""
+        real = idxs[idxs >= 0]
         rngs = [T.sample_rng(self.seed, epoch, int(i))
-                if self.is_training else None for i in idxs]
-        images = self.reader.read_batch([self.paths[i] for i in idxs], rngs)
+                if self.is_training else None for i in real]
+        images = self.reader.read_batch([self.paths[i] for i in real], rngs)
         return self._assemble(idxs, images)
 
     def epoch(self, epoch: int = 0) -> Iterator[Batch]:
@@ -172,14 +191,13 @@ class InputPipeline:
         batch_mode = hasattr(self.reader, "read_batch")
 
         def submit(batch_idx):
-            lo = batch_idx * self.batch_size
-            idxs = order[lo:lo + self.batch_size]
+            idxs = self._local_slice(order, batch_idx)
             if batch_mode:
                 # One future per batch; the reader's own (C++) thread pool
                 # parallelises items and releases the GIL for the call.
                 return idxs, self._pool.submit(self._load_batch, idxs, epoch)
             return idxs, [self._pool.submit(self._load, i, epoch)
-                          for i in idxs]
+                          for i in idxs if i >= 0]
 
         def produce():
             try:
@@ -223,23 +241,46 @@ class InputPipeline:
 
     # -- batch assembly -----------------------------------------------------
     def _assemble(self, idxs: np.ndarray, imgs) -> Batch:
-        n = len(idxs)
-        bs = self.batch_size
-        images = (imgs if isinstance(imgs, np.ndarray) and imgs.ndim == 4
-                  else np.stack(imgs))
-        labels = self.labels[idxs]
-        mask = np.ones(n, dtype=np.float32)
-        if n < bs:  # pad final ragged batch to the static shape
-            pad = bs - n
-            images = np.concatenate(
-                [images, np.zeros((pad, *images.shape[1:]), images.dtype)])
-            labels = np.concatenate(
-                [labels, np.zeros(pad, labels.dtype)])
-            mask = np.concatenate([mask, np.zeros(pad, np.float32)])
+        """Local rows -> statically-shaped (masked) arrays, placed on device.
+
+        ``idxs`` are this process's rows of the global batch (``-1`` = pad);
+        ``imgs`` holds decoded images for the non-pad rows, in order.
+        """
+        idxs = np.asarray(idxs)
+        real = idxs >= 0
+        n_real = int(real.sum())
+        if isinstance(imgs, np.ndarray) and imgs.ndim == 4:
+            decoded = imgs
+        elif n_real:
+            decoded = np.stack(imgs)
+        else:
+            crop = int(getattr(self.reader, "crop", 224))
+            decoded = np.zeros((0, crop, crop, 3), np.uint8)
+
+        lr = len(idxs)
+        if n_real == lr:
+            images = decoded
+            labels = self.labels[idxs]
+            mask = np.ones(lr, np.float32)
+        else:
+            images = np.zeros((lr, *decoded.shape[1:]),
+                              decoded.dtype if n_real else np.uint8)
+            labels = np.zeros(lr, np.int32)
+            mask = np.zeros(lr, np.float32)
+            pos = np.nonzero(real)[0]
+            images[pos] = decoded
+            labels[pos] = self.labels[idxs[real]]
+            mask[pos] = 1.0
+
         batch = Batch(images=images, labels=labels, mask=mask)
         if self.sharding is not None:
             import jax
-            batch = Batch(*(jax.device_put(x, self.sharding) for x in batch))
+            if self.process_count > 1:
+                batch = Batch(*(jax.make_array_from_process_local_data(
+                    self.sharding, x) for x in batch))
+            else:
+                batch = Batch(*(jax.device_put(x, self.sharding)
+                                for x in batch))
         return batch
 
     def close(self):

@@ -383,6 +383,10 @@ def get_arrays(state: TrainState, pipeline: InputPipeline,
     Parity: reference ``train.py:200-234`` — same tuple, same order, numpy
     on host; padded rows are dropped via the mask.
     """
+    if jax.process_count() > 1:
+        raise NotImplementedError(
+            "get_arrays gathers full score matrices to one host; run "
+            "evaluation single-process (training is multi-host capable)")
     if forward_step is None:
         forward_step = make_forward_step(mesh)
     targets, logits, feats, scores = [], [], [], []
@@ -502,10 +506,14 @@ def worker(cfg) -> dict:
     train_pipe = pipeline_from_dataset(
         train_ds, cfg.batch_size, is_training=True, seed=cfg.seed,
         num_workers=workers, reader=reader, sharding=data_sh,
-        drop_remainder=drop_remainder)
+        drop_remainder=drop_remainder,
+        process_index=jax.process_index(),
+        process_count=jax.process_count())
     val_pipe = pipeline_from_dataset(
         val_ds, cfg.batch_size, is_training=False, seed=cfg.seed,
-        num_workers=workers, reader=reader, sharding=data_sh)
+        num_workers=workers, reader=reader, sharding=data_sh,
+        process_index=jax.process_index(),
+        process_count=jax.process_count())
 
     # -- model / optimizer / state (reference train.py:350-369) ------------
     model = build_model(cfg, n_classes)

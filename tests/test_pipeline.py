@@ -47,15 +47,35 @@ def test_train_shuffle_differs_by_epoch_but_reproducible():
 
 
 def test_process_sharding_partitions_samples():
-    seen = []
+    """SPMD loading: both processes see the same 3 global batches; their
+    local slices are disjoint and cover every sample exactly once."""
+    all_idxs = []
     for p in range(2):
         pipe = make_pipeline(n=10, batch_size=4, train=False,
                              process_index=p, process_count=2)
-        assert pipe.num_samples == 5
+        assert pipe.num_samples == 10
+        assert len(pipe) == 3
+        got = []
         for b in pipe.epoch(0):
+            assert b.images.shape == (2, 32, 32, 3)  # local rows = B/P
             m = np.asarray(b.mask) > 0
-            seen.extend(np.asarray(b.labels)[m].tolist())
-    assert len(seen) == 10
+            got.extend(np.asarray(b.labels)[m].tolist())
+        all_idxs.append(got)
+    # 10 real samples total across the two processes, disjoint slices.
+    assert len(all_idxs[0]) + len(all_idxs[1]) == 10
+
+    # Local row order reconstructs the global order: process slices are
+    # contiguous halves of each global batch.
+    pipe = make_pipeline(n=10, batch_size=4, train=False)
+    expected = np.arange(10) % 3 - 1
+    rebuilt = []
+    for b0, b1 in zip(*[make_pipeline(n=10, batch_size=4, train=False,
+                                      process_index=p, process_count=2
+                                      ).epoch(0) for p in range(2)]):
+        for b in (b0, b1):
+            m = np.asarray(b.mask) > 0
+            rebuilt.extend(np.asarray(b.labels)[m].tolist())
+    np.testing.assert_array_equal(rebuilt, expected)
 
 
 def test_sharded_device_put():
