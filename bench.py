@@ -27,10 +27,18 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def build(batch_size: int):
+def build(batch_size_per_chip: int):
+    """Data-parallel train step over ALL local chips.
+
+    The global batch is ``batch_size_per_chip * n_chips`` sharded over the
+    data mesh axis, so imgs/sec/chip stays honest on multi-chip hosts (the
+    gradient psum over ICI is part of the measured step).
+    """
     from openset_imagenet_tpu import train as engine
     from openset_imagenet_tpu.config import NameSpace
     from openset_imagenet_tpu.models.resnet import build_resnet
+    from openset_imagenet_tpu.parallel.mesh import (batch_sharding,
+                                                    make_mesh, replicated)
 
     n_classes = 1000
     # Optimized-but-faithful profile (see BENCH.md): space-to-depth stem is
@@ -43,19 +51,29 @@ def build(batch_size: int):
         NameSpace({"type": "adam", "lr": 1e-3, "decay": 0, "gamma": 1}), 1)
     state = engine.create_state(model, jax.random.PRNGKey(0), tx)
     loss_fn = engine.make_loss_fn("entropic", unk_weight=1.0)
-    step = engine.make_train_step(loss_fn, mesh=None)
 
+    n_chips = jax.device_count()
+    mesh = make_mesh() if n_chips > 1 else None
+    if mesh is not None:
+        state = jax.device_put(state, replicated(mesh))
+    step = engine.make_train_step(loss_fn, mesh)
+
+    global_batch = batch_size_per_chip * n_chips
     rng = np.random.default_rng(0)
-    images = jnp.asarray(rng.integers(0, 256, (batch_size, 224, 224, 3),
+    images = jnp.asarray(rng.integers(0, 256, (global_batch, 224, 224, 3),
                                       np.uint8))
-    labels = jnp.asarray(rng.integers(-1, n_classes, batch_size)
+    labels = jnp.asarray(rng.integers(-1, n_classes, global_batch)
                          .astype(np.int32))
-    mask = jnp.ones((batch_size,), jnp.float32)
-    return state, step, (images, labels, mask)
+    mask = jnp.ones((global_batch,), jnp.float32)
+    batch = (images, labels, mask)
+    if mesh is not None:
+        sh = batch_sharding(mesh)
+        batch = tuple(jax.device_put(x, sh) for x in batch)
+    return state, step, batch, global_batch
 
 
-def run(batch_size: int, steps: int = 30, warmup: int = 5):
-    state, step, batch = build(batch_size)
+def run(batch_size_per_chip: int, steps: int = 30, warmup: int = 5):
+    state, step, batch, global_batch = build(batch_size_per_chip)
     for _ in range(warmup):
         state, m = step(state, *batch)
     # Materialise a scalar to drain the pipeline: device->host value fetch
@@ -67,7 +85,7 @@ def run(batch_size: int, steps: int = 30, warmup: int = 5):
         state, m = step(state, *batch)
     assert np.isfinite(float(m["loss_sum"]))  # forces full drain
     dt = time.perf_counter() - t0
-    return batch_size * steps / dt
+    return global_batch * steps / dt
 
 
 def main():

@@ -85,14 +85,13 @@ bool read_file(const char* path, std::vector<uint8_t>& buf) {
 
 extern "C" {
 
-// Decode `jpeg[0:len]`, resize so the shorter side == `resize` (aspect
-// preserved), crop `crop x crop` at (top, left) in resized coordinates,
-// optionally mirror horizontally, write RGB uint8 into `out`
-// (crop*crop*3 bytes).  top/left < 0 selects a center crop.
-// Returns 0 on success; on failure the caller should fall back to PIL.
-int osi_decode_resize_crop(const uint8_t* jpeg, size_t len, int resize,
-                           int crop, int top, int left, int flip,
-                           uint8_t* out) {
+// Implementation core.  The caller owns `decoded` so that the longjmp
+// unwind from libjpeg's error handler cannot skip a live std::vector
+// destructor (the object outlives the setjmp region; resizing inside it
+// is safe — the buffer is freed by the owner either way).
+static int decode_core(const uint8_t* jpeg, size_t len, int resize,
+                       int crop, int top, int left, int flip, uint8_t* out,
+                       std::vector<uint8_t>& decoded_storage) {
   jpeg_decompress_struct cinfo;
   ErrorMgr jerr;
   cinfo.err = jpeg_std_error(&jerr.pub);
@@ -135,7 +134,8 @@ int osi_decode_resize_crop(const uint8_t* jpeg, size_t len, int resize,
     jpeg_destroy_decompress(&cinfo);
     return 4;
   }
-  std::vector<uint8_t> decoded(static_cast<size_t>(dw) * dh * 3);
+  std::vector<uint8_t>& decoded = decoded_storage;
+  decoded.resize(static_cast<size_t>(dw) * dh * 3);
   while (cinfo.output_scanline < cinfo.output_height) {
     uint8_t* row = decoded.data() +
         static_cast<size_t>(cinfo.output_scanline) * dw * 3;
@@ -145,20 +145,25 @@ int osi_decode_resize_crop(const uint8_t* jpeg, size_t len, int resize,
   jpeg_finish_decompress(&cinfo);
   jpeg_destroy_decompress(&cinfo);
 
-  // Target resized geometry: shorter side == resize, aspect preserved,
-  // matching PIL/torchvision rounding (round(size * other / shorter)).
+  // Target resized geometry: shorter side == resize, aspect preserved.
+  // The long side TRUNCATES like torchvision's Resize
+  // (int(size * long / short) in _compute_resized_output_size).
   int rw, rh;
   if (full_w <= full_h) {
     rw = resize;
     rh = std::max(1, static_cast<int>(
-        std::lround(static_cast<double>(resize) * full_h / full_w)));
+        static_cast<double>(resize) * full_h / full_w));
   } else {
     rh = resize;
     rw = std::max(1, static_cast<int>(
-        std::lround(static_cast<double>(resize) * full_w / full_h)));
+        static_cast<double>(resize) * full_w / full_h));
   }
   if (top < 0) top = std::max(0, (rh - crop) / 2);
   if (left < 0) left = std::max(0, (rw - crop) / 2);
+  // Defensive clamp: fractional-draw rounding at the caller can land one
+  // past the last valid offset.
+  top = std::min(top, std::max(rh - crop, 0));
+  left = std::min(left, std::max(rw - crop, 0));
 
   // Map each output pixel through the crop offset into decoded coordinates
   // (PIL-style half-pixel centers: src = (dst + 0.5) * scale - 0.5).
@@ -176,6 +181,15 @@ int osi_decode_resize_crop(const uint8_t* jpeg, size_t len, int resize,
   return 0;
 }
 
+// Public entry: see header comment above.  top/left < 0 -> center crop.
+int osi_decode_resize_crop(const uint8_t* jpeg, size_t len, int resize,
+                           int crop, int top, int left, int flip,
+                           uint8_t* out) {
+  std::vector<uint8_t> decoded;  // owned here; safe across longjmp
+  return decode_core(jpeg, len, resize, crop, top, left, flip, out,
+                     decoded);
+}
+
 // Batch loader: decode n JPEG files into one contiguous uint8 batch
 // buffer with an internal thread pool (one fused decode per image).
 //
@@ -188,6 +202,9 @@ int osi_decode_resize_crop(const uint8_t* jpeg, size_t len, int resize,
                            int crop, int top, int left, int flip,
                            uint8_t* out);
 int osi_jpeg_size(const uint8_t* jpeg, size_t len, int* w, int* h);
+static int decode_core(const uint8_t* jpeg, size_t len, int resize,
+                       int crop, int top, int left, int flip, uint8_t* out,
+                       std::vector<uint8_t>& decoded_storage);
 
 int osi_decode_batch(const char** paths, int n, const float* utop,
                      const float* uleft, const uint8_t* flip, int resize,
@@ -198,6 +215,7 @@ int osi_decode_batch(const char** paths, int n, const float* utop,
 
   auto work = [&]() {
     std::vector<uint8_t> buf;
+    std::vector<uint8_t> decoded;  // reused per thread across images
     for (;;) {
       const int i = next.fetch_add(1);
       if (i >= n) break;
@@ -211,24 +229,29 @@ int osi_decode_batch(const char** paths, int n, const float* utop,
         failures.fetch_add(1);
         continue;
       }
+      // Truncating long side, same as decode_core / torchvision Resize.
       int rw, rh;
       if (w <= h) {
         rw = resize;
         rh = std::max(1, static_cast<int>(
-            std::lround(static_cast<double>(resize) * h / w)));
+            static_cast<double>(resize) * h / w));
       } else {
         rh = resize;
         rw = std::max(1, static_cast<int>(
-            std::lround(static_cast<double>(resize) * w / h)));
+            static_cast<double>(resize) * w / h));
       }
       int top = -1, left = -1;
       if (utop && utop[i] >= 0.0f)
-        top = static_cast<int>(utop[i] * (std::max(rh - crop, 0) + 1));
+        top = std::min(static_cast<int>(
+                           utop[i] * (std::max(rh - crop, 0) + 1)),
+                       std::max(rh - crop, 0));
       if (uleft && uleft[i] >= 0.0f)
-        left = static_cast<int>(uleft[i] * (std::max(rw - crop, 0) + 1));
+        left = std::min(static_cast<int>(
+                            uleft[i] * (std::max(rw - crop, 0) + 1)),
+                        std::max(rw - crop, 0));
       const int fl = flip ? flip[i] : 0;
-      if (osi_decode_resize_crop(buf.data(), buf.size(), resize, crop, top,
-                                 left, fl, out + stride * i) == 0) {
+      if (decode_core(buf.data(), buf.size(), resize, crop, top, left, fl,
+                      out + stride * i, decoded) == 0) {
         ok[i] = 1;
       } else {
         failures.fetch_add(1);

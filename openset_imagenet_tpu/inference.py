@@ -65,15 +65,17 @@ class OpenSetPredictor:
         if isinstance(inputs, np.ndarray):
             return inputs
         if self._reader is None:
-            from .pipeline import PILReader
-            try:
-                from .native.jpeg import NativeReader, native_available
-                self._reader = (NativeReader(crop=self.image_size)
-                                if native_available()
-                                else PILReader(crop=self.image_size))
-            except Exception:
-                self._reader = PILReader(crop=self.image_size)
-        return np.stack([self._reader(p, None) for p in inputs])
+            # Same reader policy as training (auto: native batch loader
+            # with PIL fallback) — one source of truth.
+            from . import train as engine
+            from .config import NameSpace
+            self._reader = engine._make_reader(
+                NameSpace({"data": {"reader": "auto"}, "seed": 0}),
+                crop=self.image_size)
+        paths = list(inputs)
+        if hasattr(self._reader, "read_batch"):
+            return self._reader.read_batch(paths, [None] * len(paths))
+        return np.stack([self._reader(p, None) for p in paths])
 
     # -- prediction -----------------------------------------------------------
     def predict(self, inputs: Iterable, return_features: bool = False):

@@ -98,6 +98,38 @@ def jpeg_size(data: bytes):
     return w.value, h.value
 
 
+def pil_replay(source, resize: int, crop: int, top=None, left=None,
+               utop: float = -1.0, uleft: float = -1.0,
+               flip: bool = False) -> np.ndarray:
+    """PIL fallback applying the SAME crop geometry as the native path.
+
+    ``top``/``left`` are integer offsets in resized coordinates (None ->
+    derive from the fractional ``utop``/``uleft`` draws; both negative ->
+    center crop).  Single source of truth for every native reader's
+    fallback, so geometry conventions cannot drift between copies.
+    """
+    from .. import transforms as Tr
+
+    img = Tr.decode_image(source)
+    arr = np.asarray(Tr.resize_shorter_side(img, resize), dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = np.stack([arr] * 3, axis=-1)
+    arr = Tr._pad_to(arr, crop)
+    h, w = arr.shape[:2]
+    if top is None:
+        top = (int(utop * (max(h - crop, 0) + 1)) if utop >= 0
+               else (h - crop) // 2)
+    if left is None:
+        left = (int(uleft * (max(w - crop, 0) + 1)) if uleft >= 0
+                else (w - crop) // 2)
+    top = min(max(int(top), 0), max(h - crop, 0))
+    left = min(max(int(left), 0), max(w - crop, 0))
+    arr = arr[top:top + crop, left:left + crop]
+    if flip:
+        arr = arr[:, ::-1]
+    return np.ascontiguousarray(arr)
+
+
 def decode_batch(paths, utop=None, uleft=None, flips=None, resize=256,
                  crop=224, threads: Optional[int] = None):
     """Decode ``paths`` into one ``uint8 [N, crop, crop, 3]`` batch.
@@ -155,13 +187,16 @@ class NativeBatchReader:
 
     def read_batch(self, paths, rngs) -> np.ndarray:
         n = len(paths)
+        # Clamp below 1.0: a float32-rounded draw of exactly 1.0 would map
+        # one past the last valid crop offset.
+        max_u = np.nextafter(np.float32(1.0), np.float32(0.0))
         utop = np.full(n, -1.0, np.float32)
         uleft = np.full(n, -1.0, np.float32)
         flips = np.zeros(n, np.uint8)
         for i, rng in enumerate(rngs):
             if rng is not None:
-                utop[i] = rng.random()
-                uleft[i] = rng.random()
+                utop[i] = min(np.float32(rng.random()), max_u)
+                uleft[i] = min(np.float32(rng.random()), max_u)
                 flips[i] = rng.random() < 0.5
         images, ok = decode_batch(paths, utop, uleft, flips, self.resize,
                                   self.crop, self.threads)
@@ -169,28 +204,11 @@ class NativeBatchReader:
             images = np.empty((n, self.crop, self.crop, 3), np.uint8)
             ok = np.zeros(n, bool)
         for i in np.nonzero(~ok)[0]:
-            images[i] = self._pil_replay(paths[i], utop[i], uleft[i],
-                                         bool(flips[i]))
+            images[i] = pil_replay(paths[i], self.resize, self.crop,
+                                   utop=float(utop[i]),
+                                   uleft=float(uleft[i]),
+                                   flip=bool(flips[i]))
         return images
-
-    def _pil_replay(self, path, utop, uleft, flip) -> np.ndarray:
-        from .. import transforms as Tr
-
-        img = Tr.decode_image(path)
-        arr = np.asarray(Tr.resize_shorter_side(img, self.resize),
-                         dtype=np.uint8)
-        if arr.ndim == 2:
-            arr = np.stack([arr] * 3, axis=-1)
-        arr = Tr._pad_to(arr, self.crop)
-        h, w = arr.shape[:2]
-        top = (h - self.crop) // 2 if utop < 0 else \
-            int(utop * (max(h - self.crop, 0) + 1))
-        left = (w - self.crop) // 2 if uleft < 0 else \
-            int(uleft * (max(w - self.crop, 0) + 1))
-        arr = arr[top:top + self.crop, left:left + self.crop]
-        if flip:
-            arr = arr[:, ::-1]
-        return np.ascontiguousarray(arr)
 
 
 class NativeReader:
@@ -221,12 +239,8 @@ class NativeReader:
         size = jpeg_size(data)
         if size is None:
             return self._fallback(path, rng)
-        w, h = size
-        # Resized geometry (shorter side == resize, PIL rounding).
-        if w <= h:
-            rw, rh = self.resize, max(1, round(self.resize * h / w))
-        else:
-            rw, rh = max(1, round(self.resize * w / h)), self.resize
+        from .. import transforms as Tr
+        rw, rh = Tr.resized_geometry(*size, self.resize)
         # Same draw order as transforms.random_crop + hflip.
         top = int(rng.integers(0, max(rh - self.crop, 0) + 1))
         left = int(rng.integers(0, max(rw - self.crop, 0) + 1))
@@ -238,14 +252,5 @@ class NativeReader:
         # Native decode failed after the draws were consumed: replay the
         # SAME crop/flip via PIL so the augmentation stream stays identical
         # to the pure-PIL pipeline for this (seed, epoch, index).
-        from .. import transforms as Tr
-        img = Tr.decode_image(data)
-        arr = np.asarray(Tr.resize_shorter_side(img, self.resize),
-                         dtype=np.uint8)
-        if arr.ndim == 2:
-            arr = np.stack([arr] * 3, axis=-1)
-        arr = Tr._pad_to(arr, self.crop)
-        arr = arr[top:top + self.crop, left:left + self.crop]
-        if flip:
-            arr = arr[:, ::-1]
-        return np.ascontiguousarray(arr)
+        return pil_replay(data, self.resize, self.crop, top=top, left=left,
+                          flip=flip)

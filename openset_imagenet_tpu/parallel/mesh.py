@@ -74,3 +74,15 @@ def shard_batch_size(global_batch: int, mesh: Mesh, axis: str = "data"
 
 def local_device_count() -> int:
     return jax.local_device_count()
+
+
+def data_mesh_for_batch(global_batch: int) -> Mesh:
+    """Largest 1-D data mesh whose size divides the global batch.
+
+    A 1-sample remainder cannot be split over more chips than it has rows;
+    shared by the train worker and the evaluate CLI.
+    """
+    n = jax.device_count()
+    while int(global_batch) % n:
+        n -= 1
+    return make_mesh(num_devices=n)

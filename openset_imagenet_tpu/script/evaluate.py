@@ -65,7 +65,8 @@ def main(argv=None):
     from ..logger import configure_logger
     from .. import train as engine
     from ..checkpoint import load_checkpoint
-    from ..parallel.mesh import batch_sharding, make_mesh, replicated
+    from ..parallel.mesh import (batch_sharding, data_mesh_for_batch,
+                                 replicated)
     from ..pipeline import pipeline_from_dataset
 
     log = configure_logger()
@@ -86,10 +87,7 @@ def main(argv=None):
     else:
         n_classes = val_ds.label_count - 1
 
-    n_dev = jax.device_count()
-    while args.batch_size % n_dev:
-        n_dev -= 1
-    mesh = make_mesh(num_devices=n_dev)
+    mesh = data_mesh_for_batch(args.batch_size)
 
     cfg = NameSpace({"model": {"variant": args.model_variant},
                      "data": {"reader": args.reader},

@@ -151,6 +151,10 @@ def conf_and_ccr_table(args, scores, epochs):
     with open(args.table, "w") as table:
         for p, protocol in enumerate(args.protocols):
             for l, loss in enumerate(args.loss_functions):
+                if scores[protocol][loss] is None:  # checkpoint missing
+                    table.write(f"$P_{protocol}$ - {args.labels[l]} & --- "
+                                "& --- & --- & --- & --- & --- & ---\\\\\n")
+                    continue
                 array = scores[protocol][loss]["test"]
                 gt = array["gt"].astype(int)
                 values = array["scores"]

@@ -56,7 +56,8 @@ from .models.resnet import ResNet50, build_resnet
 from .ops.losses import (AverageMeter, EarlyStopping, entropic_openset_loss,
                          garbage_loss, softmax_loss)
 from .ops.metrics import confidence_sums, loss_regime_params
-from .parallel.mesh import batch_sharding, make_mesh, replicated
+from .parallel.mesh import (batch_sharding, data_mesh_for_batch, make_mesh,
+                            replicated)
 from .pipeline import InputPipeline, PILReader, SyntheticReader, \
     pipeline_from_dataset
 
@@ -489,12 +490,7 @@ def worker(cfg) -> dict:
                            class_weights=class_weights, fused=fused)
 
     # -- mesh + input pipelines ---------------------------------------------
-    # Largest device count that divides the global batch (a 1-sample
-    # remainder cannot be split over 8 chips).
-    n_dev = jax.device_count()
-    while int(cfg.batch_size) % n_dev:
-        n_dev -= 1
-    mesh = make_mesh(num_devices=n_dev)
+    mesh = data_mesh_for_batch(cfg.batch_size)
     data_sh = batch_sharding(mesh)
     rep = replicated(mesh)
     image_size = int(getattr(cfg.data, "image_size", 224) or 224)
@@ -569,60 +565,65 @@ def worker(cfg) -> dict:
                          if profile_cfg else [])
 
     epoch = start_epoch - 1
-    shutdown = GracefulShutdown().__enter__()
-    for epoch in range(start_epoch, cfg.epochs):
-        epoch_time = time.time()
-        profiling = profile_dir is not None and epoch in profile_epochs
-        if profiling:
-            jax.profiler.start_trace(str(profile_dir))
-        state = train_epoch(state, train_pipe, epoch, train_step, t_metrics,
-                            progress=not getattr(cfg, "parallel", False))
-        if profiling:
-            jax.profiler.stop_trace()
-            log.info(f"Profiler trace for epoch {epoch} written to "
-                     f"{profile_dir}")
-        train_time = time.time() - epoch_time
+    shutdown = GracefulShutdown()
+    shutdown.__enter__()
+    try:
+        for epoch in range(start_epoch, cfg.epochs):
+            epoch_time = time.time()
+            profiling = profile_dir is not None and epoch in profile_epochs
+            if profiling:
+                jax.profiler.start_trace(str(profile_dir))
+            state = train_epoch(state, train_pipe, epoch, train_step, t_metrics,
+                                progress=not getattr(cfg, "parallel", False))
+            if profiling:
+                jax.profiler.stop_trace()
+                log.info(f"Profiler trace for epoch {epoch} written to "
+                         f"{profile_dir}")
+            train_time = time.time() - epoch_time
 
-        validate(state, val_pipe, epoch, eval_step, v_metrics)
-        curr_score = v_metrics["conf_kn"].avg + v_metrics["conf_unk"].avg
+            validate(state, val_pipe, epoch, eval_step, v_metrics)
+            curr_score = v_metrics["conf_kn"].avg + v_metrics["conf_unk"].avg
 
-        writer.add_scalar("train/loss", t_metrics["j"].avg, epoch)
-        writer.add_scalar("val/loss", v_metrics["j"].avg, epoch)
-        writer.add_scalar("val/conf_kn", v_metrics["conf_kn"].avg, epoch)
-        writer.add_scalar("val/conf_unk", v_metrics["conf_unk"].avg, epoch)
-        writer.add_scalar("train/imgs_per_sec", t_metrics["imgs/s"].avg,
-                          epoch)
-        writer.flush()
+            writer.add_scalar("train/loss", t_metrics["j"].avg, epoch)
+            writer.add_scalar("val/loss", v_metrics["j"].avg, epoch)
+            writer.add_scalar("val/conf_kn", v_metrics["conf_kn"].avg, epoch)
+            writer.add_scalar("val/conf_unk", v_metrics["conf_unk"].avg, epoch)
+            writer.add_scalar("train/imgs_per_sec", t_metrics["imgs/s"].avg,
+                              epoch)
+            writer.flush()
 
-        val_time = time.time() - train_time - epoch_time
-        log.info(
-            f"loss:{cfg.loss.type} protocol:{cfg.protocol} ep:{epoch} "
-            f"train:{dict(t_metrics)} val:{dict(v_metrics)} "
-            f"t:{train_time:.1f}s v:{val_time:.1f}s")
+            val_time = time.time() - train_time - epoch_time
+            log.info(
+                f"loss:{cfg.loss.type} protocol:{cfg.protocol} ep:{epoch} "
+                f"train:{dict(t_metrics)} val:{dict(v_metrics)} "
+                f"t:{train_time:.1f}s v:{val_time:.1f}s")
 
-        ckpt_name = str(out_dir / cfg.name) + "_curr.pth"
-        save_checkpoint(ckpt_name, state, epoch, curr_score)
-        if curr_score > best_score:
-            best_score = curr_score
-            ckpt_name = str(out_dir / cfg.name) + "_best.pth"
-            log.info(f"Saving best model {ckpt_name} at epoch: {epoch}")
-            save_checkpoint(ckpt_name, state, epoch, best_score)
+            ckpt_name = str(out_dir / cfg.name) + "_curr.pth"
+            save_checkpoint(ckpt_name, state, epoch, curr_score)
+            if curr_score > best_score:
+                best_score = curr_score
+                ckpt_name = str(out_dir / cfg.name) + "_best.pth"
+                log.info(f"Saving best model {ckpt_name} at epoch: {epoch}")
+                save_checkpoint(ckpt_name, state, epoch, best_score)
 
-        if early_stopping is not None:
-            early_stopping(metrics=curr_score, loss=False)
-            if early_stopping.early_stop:
-                log.info("early stop")
+            if early_stopping is not None:
+                early_stopping(metrics=curr_score, loss=False)
+                if early_stopping.early_stop:
+                    log.info("early stop")
+                    break
+
+            if shutdown.requested:
+                log.info(f"shutdown requested; stopped cleanly after epoch "
+                         f"{epoch} (resume from {cfg.name}_curr.pth)")
                 break
 
-        if shutdown.requested:
-            log.info(f"shutdown requested; stopped cleanly after epoch "
-                     f"{epoch} (resume from {cfg.name}_curr.pth)")
-            break
-
-    shutdown.__exit__()
-    train_pipe.close()
-    val_pipe.close()
-    writer.close()
+    finally:
+        # Restore signal handlers and release pipeline threads /
+        # flush the scalar record even when an epoch raises.
+        shutdown.__exit__()
+        train_pipe.close()
+        val_pipe.close()
+        writer.close()
     log.info("Training finished")
     return {"best_score": best_score, "last_epoch": epoch,
             "n_classes": n_classes}

@@ -54,19 +54,28 @@ def resize_shorter_side(img, size: int = 256):
     """Aspect-preserving resize so the shorter side equals ``size``.
 
     Parity: ``torchvision.transforms.Resize(256)`` on a PIL image — bilinear,
-    antialiased (PIL's resize is always antialiased).  If the shorter side
-    already equals ``size`` this is a no-op.
+    antialiased (PIL's resize is always antialiased), and the long side
+    TRUNCATES like torchvision's ``_compute_resized_output_size``
+    (``int(size * long / short)``).  No-op if the shorter side already
+    equals ``size``.
     """
     w, h = img.size
     if w <= h:
         if w == size:
             return img
-        new_w, new_h = size, max(1, round(size * h / w))
+        new_w, new_h = size, max(1, int(size * h / w))
     else:
         if h == size:
             return img
-        new_w, new_h = max(1, round(size * w / h)), size
+        new_w, new_h = max(1, int(size * w / h)), size
     return img.resize((new_w, new_h), Image.BILINEAR)
+
+
+def resized_geometry(w: int, h: int, size: int):
+    """(rw, rh) after :func:`resize_shorter_side` — shared by all readers."""
+    if w <= h:
+        return size, max(1, int(size * h / w))
+    return max(1, int(size * w / h)), size
 
 
 def center_crop(arr: np.ndarray, size: int = 224) -> np.ndarray:

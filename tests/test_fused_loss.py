@@ -123,3 +123,34 @@ def test_garbage_fused_matches_reference(c):
         lg, labels, w, sample_mask=mask)[0])(logits)
     np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_fused_under_multi_device_mesh():
+    """The Pallas custom call must compose with GSPMD sharding."""
+    from openset_imagenet_tpu import train as engine
+    from openset_imagenet_tpu.config import NameSpace
+    from openset_imagenet_tpu.models.resnet import build_resnet
+    from openset_imagenet_tpu.parallel.mesh import (batch_sharding,
+                                                    make_mesh, replicated)
+
+    mesh = make_mesh(8)
+    model = build_resnet("tiny", fc_layer_dim=4, out_features=4)
+    tx = engine.build_optimizer(
+        NameSpace({"type": "adam", "lr": 1e-3, "decay": 0, "gamma": 1}), 1)
+    rng = np.random.default_rng(0)
+    sh = batch_sharding(mesh)
+    img = jax.device_put(rng.integers(0, 256, (16, 32, 32, 3), np.uint8),
+                         sh)
+    lab = jax.device_put(rng.integers(-1, 4, 16).astype(np.int32), sh)
+    msk = jax.device_put(np.ones(16, np.float32), sh)
+    losses = {}
+    for fused in (False, True):
+        state = jax.device_put(
+            engine.create_state(model, jax.random.PRNGKey(0), tx,
+                                image_size=32), replicated(mesh))
+        step = engine.make_train_step(engine.make_loss_fn("entropic",
+                                                          fused=fused),
+                                      mesh)
+        _, m = step(state, img, lab, msk)
+        losses[fused] = float(m["loss_sum"])
+    assert losses[True] == pytest.approx(losses[False], rel=1e-6)
