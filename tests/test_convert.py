@@ -1,0 +1,109 @@
+"""Torch-checkpoint import: key mapping, transposition, round trip."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from openset_imagenet_tpu.convert import (_torch_key,
+                                          torch_state_dict_to_variables)
+from openset_imagenet_tpu.models.resnet import build_resnet
+
+
+def make_template(variant="resnet50", d=6):
+    model = build_resnet(variant, fc_layer_dim=d, out_features=d)
+    return model, jax.eval_shape(
+        lambda r, x: model.init(r, x, train=False),
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3), jnp.float32))
+
+
+def fake_torch_dict(template, prefix="", seed=0):
+    """Synthesize a torch-style state dict matching the template shapes."""
+    rng = np.random.default_rng(seed)
+    out = {}
+    for coll in ("params", "batch_stats"):
+        for path, leaf in jax.tree_util.tree_flatten_with_path(
+                template[coll])[0]:
+            keys = tuple(getattr(p, "key", getattr(p, "name", p))
+                         for p in path)
+            tkey = prefix + _torch_key(keys)
+            shape = leaf.shape
+            if keys[-1] == "kernel":
+                shape = ((shape[3], shape[2], shape[0], shape[1])
+                         if len(shape) == 4 else (shape[1], shape[0]))
+            if tkey.endswith("running_var"):
+                # variances must be positive or BN's rsqrt produces NaN
+                out[tkey] = rng.uniform(0.5, 2.0, shape).astype(np.float32)
+            else:
+                out[tkey] = rng.normal(size=shape).astype(np.float32)
+    return out
+
+
+def test_key_mapping_spot_checks():
+    assert _torch_key(("conv_init", "kernel")) == "resnet_base.conv1.weight"
+    assert _torch_key(("bn_init", "var")) == "resnet_base.bn1.running_var"
+    assert _torch_key(("stage1_block1", "Conv_0", "kernel")) == \
+        "resnet_base.layer1.0.conv1.weight"
+    assert _torch_key(("stage3_block4", "bn2", "scale")) == \
+        "resnet_base.layer3.3.bn2.weight"
+    assert _torch_key(("stage2_block1", "downsample_bn", "mean")) == \
+        "resnet_base.layer2.0.downsample.1.running_mean"
+    assert _torch_key(("fc", "kernel")) == "resnet_base.fc.weight"
+    assert _torch_key(("logits", "bias")) == "logits.bias"
+
+
+@pytest.mark.parametrize("prefix", ["", "module."])
+def test_roundtrip_fills_every_leaf(prefix):
+    model, template = make_template()
+    tdict = fake_torch_dict(template, prefix=prefix)
+    variables = torch_state_dict_to_variables(tdict, template)
+
+    # Every leaf filled with the mapped (transposed) tensor.
+    conv1 = tdict[prefix + "resnet_base.conv1.weight"]
+    np.testing.assert_array_equal(
+        np.asarray(variables["params"]["conv_init"]["kernel"]),
+        np.transpose(conv1, (2, 3, 1, 0)))
+    fc_w = tdict[prefix + "resnet_base.fc.weight"]
+    np.testing.assert_array_equal(
+        np.asarray(variables["params"]["fc"]["kernel"]), fc_w.T)
+    bn_var = tdict[prefix + "resnet_base.bn1.running_var"]
+    np.testing.assert_array_equal(
+        np.asarray(variables["batch_stats"]["bn_init"]["var"]), bn_var)
+
+    # The model runs with the imported weights.
+    logits, feats = model.apply(
+        variables, jnp.zeros((2, 32, 32, 3), jnp.float32), train=False)
+    assert logits.shape == (2, 6)
+
+
+def test_missing_key_and_shape_mismatch_raise():
+    model, template = make_template()
+    tdict = fake_torch_dict(template)
+    bad = dict(tdict)
+    del bad["resnet_base.conv1.weight"]
+    with pytest.raises(KeyError, match="conv1"):
+        torch_state_dict_to_variables(bad, template)
+    bad = dict(tdict)
+    bad["resnet_base.fc.weight"] = np.zeros((7, 7), np.float32)
+    with pytest.raises(ValueError, match="shape"):
+        torch_state_dict_to_variables(bad, template)
+
+
+def test_load_reference_checkpoint_via_torch(tmp_path):
+    torch = pytest.importorskip("torch")
+    model, template = make_template()
+    tdict = {k: torch.from_numpy(v)
+             for k, v in fake_torch_dict(template, seed=3).items()}
+    path = tmp_path / "ref_best.pth"
+    torch.save({"model_state_dict": tdict, "epoch": 42,
+                "best_score": 1.5}, path)
+
+    from openset_imagenet_tpu.convert import load_reference_checkpoint
+    variables, epoch, best = load_reference_checkpoint(path, model,
+                                                       image_size=32)
+    assert epoch == 42 and best == 1.5
+    logits, _ = model.apply(variables,
+                            jnp.zeros((1, 32, 32, 3), jnp.float32),
+                            train=False)
+    assert np.all(np.isfinite(np.asarray(logits)))
