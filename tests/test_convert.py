@@ -36,7 +36,11 @@ def fake_torch_dict(template, prefix="", seed=0):
                 # variances must be positive or BN's rsqrt produces NaN
                 out[tkey] = rng.uniform(0.5, 2.0, shape).astype(np.float32)
             else:
-                out[tkey] = rng.normal(size=shape).astype(np.float32)
+                # small scale: unnormalised N(0,1) weights explode through
+                # 50 bf16 layers into inf/NaN
+                scale = 1.0 / np.sqrt(np.prod(shape[1:]) or 1)
+                out[tkey] = (rng.normal(size=shape) * scale).astype(
+                    np.float32)
     return out
 
 
