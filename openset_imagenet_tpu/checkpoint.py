@@ -98,6 +98,29 @@ def load_checkpoint(checkpoint, state, restore_opt: bool = True
     return new_state, int(payload["epoch"]), 0.0
 
 
+def load_weights_any_format(checkpoint, state, model, image_size: int = 224):
+    """Load model weights from either a native or a reference checkpoint.
+
+    Tries the native msgpack format first; if the file is a PyTorch
+    checkpoint from the reference implementation (the published pre-trained
+    models, reference ``readme.md:33``), converts it via
+    :mod:`openset_imagenet_tpu.convert`.  Optimizer state is never
+    restored.  Returns ``(state, start_epoch, best_score)``.
+    """
+    try:
+        return load_checkpoint(checkpoint, state, restore_opt=False)
+    except Exception as msgpack_err:  # not a native checkpoint
+        try:
+            from .convert import load_reference_checkpoint
+            variables, epoch, best = load_reference_checkpoint(
+                checkpoint, model, image_size=image_size)
+        except Exception:
+            raise msgpack_err
+        return (state.replace(params=variables["params"],
+                              batch_stats=variables["batch_stats"]),
+                epoch, best)
+
+
 def read_metadata(checkpoint) -> dict:
     """Read only ``{epoch, best_score}`` (the plot layer's use, reference
     ``script/plot_all.py:140-141``) without materialising the weights."""

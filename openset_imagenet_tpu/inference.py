@@ -42,7 +42,7 @@ class OpenSetPredictor:
         import optax
 
         from . import train as engine
-        from .checkpoint import load_checkpoint
+        from .checkpoint import load_weights_any_format
         from .config import NameSpace
 
         cfg = NameSpace({"model": {"variant": variant}, "seed": 0,
@@ -51,7 +51,9 @@ class OpenSetPredictor:
         state = engine.create_state(model, jax.random.PRNGKey(0),
                                     optax.identity(),
                                     image_size=image_size)
-        state, _, _ = load_checkpoint(checkpoint, state, restore_opt=False)
+        # Native or reference-torch checkpoints both load.
+        state, _, _ = load_weights_any_format(checkpoint, state, model,
+                                              image_size=image_size)
         self._state = state
         self._forward = engine.make_forward_step(None)
         self.image_size = image_size

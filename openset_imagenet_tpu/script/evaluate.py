@@ -64,7 +64,7 @@ def main(argv=None):
     from ..dataset import ImagenetDataset
     from ..logger import configure_logger
     from .. import train as engine
-    from ..checkpoint import load_checkpoint
+    from ..checkpoint import load_weights_any_format
     from ..parallel.mesh import (batch_sharding, data_mesh_for_batch,
                                  replicated)
     from ..pipeline import pipeline_from_dataset
@@ -101,8 +101,10 @@ def main(argv=None):
                                 optax.identity(),
                                 image_size=args.image_size)
     ckpt = out_dir / f"{args.loss}{suffix}.pth"
-    state, start_epoch, best_score = load_checkpoint(ckpt, state,
-                                                     restore_opt=False)
+    # Accepts this framework's checkpoints AND the reference's published
+    # torch checkpoints (auto-converted).
+    state, start_epoch, best_score = load_weights_any_format(
+        ckpt, state, model, image_size=args.image_size)
     state = jax.device_put(state, replicated(mesh))
     log.info(f"Loaded {ckpt} (epoch {start_epoch}, score {best_score:.3f})")
 

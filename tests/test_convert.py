@@ -111,3 +111,30 @@ def test_load_reference_checkpoint_via_torch(tmp_path):
                             jnp.zeros((1, 32, 32, 3), jnp.float32),
                             train=False)
     assert np.all(np.isfinite(np.asarray(logits)))
+
+
+def test_evaluate_cli_accepts_torch_checkpoint(tmp_path):
+    """The evaluate CLI transparently converts a reference torch .pth."""
+    torch = pytest.importorskip("torch")
+    from tests.test_engine import write_protocol_csvs
+    from openset_imagenet_tpu.script.evaluate import main
+
+    write_protocol_csvs(tmp_path)
+    model, template = make_template("tiny", d=3)
+    tdict = {k: torch.from_numpy(v)
+             for k, v in fake_torch_dict(template, seed=1).items()}
+    out = tmp_path / "exp"
+    out.mkdir()
+    torch.save({"model_state_dict": tdict, "epoch": 7, "best_score": 0.5},
+               out / "entropic_curr.pth")
+
+    main(["entropic", "1",
+          "--imagenet-directory", str(tmp_path),
+          "--protocol-directory", str(tmp_path),
+          "--output-directory", str(out),
+          "--batch-size", "8", "--workers", "2",
+          "--image-size", "32", "--model-variant", "tiny",
+          "--reader", "synthetic"])
+    arr = np.load(out / "entropic_test_arr_curr.npz")
+    assert arr["scores"].shape[1] == 3
+    assert np.all(np.isfinite(arr["scores"]))
