@@ -58,6 +58,8 @@ def calculate_oscr(gt: np.ndarray, scores: np.ndarray,
 
     ccr = (correct_scores.size
            - np.searchsorted(correct_scores, taus, side="right")) / total_kn
+    # Deliberate divergence: with zero unknowns the reference divides 0/0
+    # into NaN (util.py:118); FPR is defined as 0 here instead.
     fpr = (unk_max_scores.size
            - np.searchsorted(unk_max_scores, taus, side="right")) / max(total_unk, 1)
     return ccr.astype(float), fpr.astype(float)

@@ -520,8 +520,11 @@ def worker(cfg) -> dict:
     # -- resume / finetune (reference train.py:372-388) --------------------
     if getattr(cfg, "checkpoint", None):
         if getattr(cfg, "train_mode", "train") == "finetune":
-            state, start_epoch, _ = load_checkpoint(
-                cfg.checkpoint, state, restore_opt=False)
+            # Finetune accepts native checkpoints AND the reference's
+            # published torch .pth models (auto-converted) — weights only.
+            from .checkpoint import load_weights_any_format
+            state, start_epoch, _ = load_weights_any_format(
+                cfg.checkpoint, state, model, image_size=image_size)
             best_score = 0.0
         else:
             state, start_epoch, best_score = load_checkpoint(
