@@ -14,6 +14,13 @@ per step (``config/train.yaml:18``); a 256-batch DP run with
 
 ``stats_rows=0`` (default) reduces over the full batch — numerically
 identical to ``flax.linen.BatchNorm(use_fast_variance=True)``.
+
+Multi-chip note: under a batch-sharded mesh the leading-rows slice lives on
+the first data shard(s), so XLA broadcasts those statistics to the other
+chips — correct, and verified to compile/execute under an 8-device mesh.
+A per-device-stats variant (each chip normalizing with its own local rows,
+torch's non-sync BN semantics) would avoid that broadcast via shard_map and
+is left for a multi-chip tuning round.
 """
 
 from __future__ import annotations
