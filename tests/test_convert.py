@@ -138,3 +138,26 @@ def test_evaluate_cli_accepts_torch_checkpoint(tmp_path):
     arr = np.load(out / "entropic_test_arr_curr.npz")
     assert arr["scores"].shape[1] == 3
     assert np.all(np.isfinite(arr["scores"]))
+
+
+def test_worker_finetunes_from_torch_checkpoint(tmp_path):
+    """train_mode=finetune accepts the reference's torch .pth directly."""
+    torch = pytest.importorskip("torch")
+    from tests.test_engine import tiny_cfg, write_protocol_csvs
+    from openset_imagenet_tpu import train as engine
+
+    write_protocol_csvs(tmp_path)
+    model, template = make_template("tiny", d=3)
+    tdict = {k: torch.from_numpy(v)
+             for k, v in fake_torch_dict(template, seed=5).items()}
+    ref_ckpt = tmp_path / "pretrained.pth"
+    torch.save({"model_state_dict": tdict, "epoch": 3, "best_score": 0.9},
+               ref_ckpt)
+
+    cfg = tiny_cfg(tmp_path, "entropic", epochs=4,
+                   train_mode="finetune")
+    cfg.checkpoint = str(ref_ckpt)
+    info = engine.worker(cfg)
+    # Finetune starts at the stored epoch with best reset to 0.
+    assert info["last_epoch"] == 3
+    assert np.isfinite(info["best_score"])
