@@ -49,13 +49,15 @@ def save_checkpoint(f_name, state, epoch: int, best_score: float,
         extra: optional additional host-side metadata (must be
             msgpack-serialisable).
     """
+    # Scalars first: read_metadata stream-reads the leading map entries
+    # without decoding the weight tensors.
     payload = {
         "epoch": int(epoch) + 1,
         "step": int(state.step),
+        "best_score": float(best_score),
         "model_state_dict": _to_numpy(state.params),
         "batch_stats": _to_numpy(state.batch_stats),
         "opt_state_dict": _to_numpy(state.opt_state),
-        "best_score": float(best_score),
     }
     if extra:
         payload["extra"] = extra
@@ -108,7 +110,11 @@ def load_weights_any_format(checkpoint, state, model, image_size: int = 224):
     restored.  Returns ``(state, start_epoch, best_score)``.
     """
     try:
-        return load_checkpoint(checkpoint, state, restore_opt=False)
+        new_state, epoch, _ = load_checkpoint(checkpoint, state,
+                                              restore_opt=False)
+        # restore_opt=False hardcodes best=0.0 (finetune contract); report
+        # the stored score here so both formats return the same triple.
+        return new_state, epoch, read_metadata(checkpoint)["best_score"]
     except Exception as msgpack_err:  # not a native checkpoint
         try:
             from .convert import load_reference_checkpoint
@@ -123,7 +129,29 @@ def load_weights_any_format(checkpoint, state, model, image_size: int = 224):
 
 def read_metadata(checkpoint) -> dict:
     """Read only ``{epoch, best_score}`` (the plot layer's use, reference
-    ``script/plot_all.py:140-141``) without materialising the weights."""
+    ``script/plot_all.py:140-141``) without materialising the weights.
+
+    New checkpoints store the scalars as the leading map entries, so a
+    streaming msgpack unpack stops before any tensor; older layouts fall
+    back to a full decode.
+    """
+    import msgpack
+
+    try:
+        with open(checkpoint, "rb") as f:
+            unpacker = msgpack.Unpacker(f, raw=False)
+            n_entries = unpacker.read_map_header()
+            meta = {}
+            for _ in range(min(n_entries, 3)):
+                key = unpacker.unpack()
+                value = unpacker.unpack()
+                if key in ("epoch", "best_score"):
+                    meta[key] = value
+                if len(meta) == 2:
+                    return {"epoch": int(meta["epoch"]),
+                            "best_score": float(meta["best_score"])}
+    except Exception:
+        pass
     with open(checkpoint, "rb") as f:
         payload = serialization.msgpack_restore(f.read())
     return {"epoch": int(payload["epoch"]),

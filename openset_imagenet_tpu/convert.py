@@ -151,7 +151,9 @@ def load_reference_checkpoint(path, model, image_size: int = 224):
     import jax
     import jax.numpy as jnp
 
-    payload = torch.load(path, map_location="cpu", weights_only=False)
+    # weights_only: the reference payload is a plain dict of tensors and
+    # scalars; never execute pickle code from a downloaded checkpoint.
+    payload = torch.load(path, map_location="cpu", weights_only=True)
     state_dict = {k: v.numpy() for k, v in
                   payload["model_state_dict"].items()}
     template = jax.eval_shape(

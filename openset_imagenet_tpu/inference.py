@@ -54,7 +54,9 @@ class OpenSetPredictor:
         # Native or reference-torch checkpoints both load.
         state, _, _ = load_weights_any_format(checkpoint, state, model,
                                               image_size=image_size)
-        self._state = state
+        # Commit the weights to device once; numpy leaves would otherwise
+        # re-transfer the whole model on every predict() call.
+        self._state = jax.device_put(state)
         self._forward = engine.make_forward_step(None)
         self.image_size = image_size
         self.threshold = float(threshold)
@@ -87,9 +89,18 @@ class OpenSetPredictor:
         get class ``-1``.
         """
         images = self._load_images(inputs)
+        n = images.shape[0]
+        # Static shapes under jit: pad to the next power of two so arbitrary
+        # request sizes reuse a handful of compiled programs instead of
+        # compiling per batch size (BN runs on running stats, so padded
+        # rows are dropped afterwards with no effect).
+        bucket = 1 << max(0, (n - 1)).bit_length()
+        if bucket != n:
+            pad = np.zeros((bucket - n, *images.shape[1:]), images.dtype)
+            images = np.concatenate([images, pad])
         logits, features, scores = self._forward(self._state, images)
-        scores = np.asarray(scores)
-        features = np.asarray(features)
+        scores = np.asarray(scores)[:n]
+        features = np.asarray(features)[:n]
         class_scores = scores[:, :-1] if self.has_background else scores
         pred = np.argmax(class_scores, axis=-1)
         conf = np.max(class_scores, axis=-1)

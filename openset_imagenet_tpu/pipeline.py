@@ -271,6 +271,14 @@ class InputPipeline:
             images[pos] = decoded
             labels[pos] = self.labels[idxs[real]]
             mask[pos] = 1.0
+            if n_real:
+                # Fill pad rows with recycled REAL images (mask stays 0):
+                # losses/metrics ignore them exactly, while train-mode
+                # batch-norm statistics see natural pixels instead of
+                # zero frames that would drag the batch mean/variance.
+                pad_pos = np.nonzero(~real)[0]
+                images[pad_pos] = decoded[
+                    np.arange(len(pad_pos)) % n_real]
 
         batch = Batch(images=images, labels=labels, mask=mask)
         if self.sharding is not None:
