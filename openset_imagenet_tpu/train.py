@@ -534,7 +534,14 @@ def worker(cfg) -> dict:
                  "0 is for fine tuning")
         log.info(f"Loaded {cfg.checkpoint} at epoch {start_epoch}")
 
-    train_step = make_train_step(loss_fn, mesh)
+    # parallel_mode: gspmd (default, one global-batch program) or
+    # shard_map (explicit collectives + per-device BN statistics — the
+    # reference's torch BN semantics; see parallel/shard_step.py).
+    if getattr(cfg, "parallel_mode", "gspmd") == "shard_map":
+        from .parallel.shard_step import make_train_step_shard_map
+        train_step = make_train_step_shard_map(loss_fn, mesh)
+    else:
+        train_step = make_train_step(loss_fn, mesh)
     eval_step = make_eval_step(loss_fn, cfg.loss.type, n_classes, mesh)
 
     early_stopping = (EarlyStopping(patience=cfg.patience)
