@@ -72,7 +72,9 @@ def build(batch_size_per_chip: int):
     return state, step, batch, global_batch
 
 
-def run(batch_size_per_chip: int, steps: int = 30, warmup: int = 5):
+def run(batch_size_per_chip: int, steps: int = 25, warmup: int = 5,
+        repeats: int = 3):
+    """Median over ``repeats`` timed windows (one compile, shared state)."""
     state, step, batch, global_batch = build(batch_size_per_chip)
     for _ in range(warmup):
         state, m = step(state, *batch)
@@ -80,12 +82,14 @@ def run(batch_size_per_chip: int, steps: int = 30, warmup: int = 5):
     # is the only reliable sync point on tunneled PJRT backends where
     # block_until_ready can return early.
     float(m["loss_sum"])
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        state, m = step(state, *batch)
-    assert np.isfinite(float(m["loss_sum"]))  # forces full drain
-    dt = time.perf_counter() - t0
-    return global_batch * steps / dt
+    rates = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            state, m = step(state, *batch)
+        assert np.isfinite(float(m["loss_sum"]))  # forces full drain
+        rates.append(global_batch * steps / (time.perf_counter() - t0))
+    return float(np.median(rates))
 
 
 def main():
