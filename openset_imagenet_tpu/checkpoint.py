@@ -152,7 +152,17 @@ def read_metadata(checkpoint) -> dict:
                             "best_score": float(meta["best_score"])}
     except Exception:
         pass
-    with open(checkpoint, "rb") as f:
-        payload = serialization.msgpack_restore(f.read())
-    return {"epoch": int(payload["epoch"]),
-            "best_score": float(payload["best_score"])}
+    try:
+        with open(checkpoint, "rb") as f:
+            payload = serialization.msgpack_restore(f.read())
+        return {"epoch": int(payload["epoch"]),
+                "best_score": float(payload["best_score"])}
+    except Exception:
+        # Reference torch checkpoint (the evaluate CLI auto-converts these,
+        # so the plot layer must read their metadata too).
+        import torch
+
+        payload = torch.load(checkpoint, map_location="cpu",
+                             weights_only=True)
+        return {"epoch": int(payload.get("epoch", 0)),
+                "best_score": float(payload.get("best_score", 0.0))}

@@ -62,27 +62,27 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch_size(global_batch: int, mesh: Mesh, axis: str = "data"
-                     ) -> int:
-    """Validate that the global batch divides the data axis; return it."""
-    n = mesh.shape[axis]
-    if global_batch % n:
-        raise ValueError(
-            f"global batch {global_batch} not divisible by |{axis}| = {n}")
-    return global_batch
-
-
-def local_device_count() -> int:
-    return jax.local_device_count()
-
-
 def data_mesh_for_batch(global_batch: int) -> Mesh:
     """Largest 1-D data mesh whose size divides the global batch.
 
     A 1-sample remainder cannot be split over more chips than it has rows;
-    shared by the train worker and the evaluate CLI.
+    shared by the train worker and the evaluate CLI.  Shrinking idles
+    devices, so it warns loudly; on multi-host it raises instead (excluding
+    devices would strand whole processes).
     """
-    n = jax.device_count()
+    import warnings
+
+    total = jax.device_count()
+    n = total
     while int(global_batch) % n:
         n -= 1
+    if n != total:
+        if jax.process_count() > 1:
+            raise ValueError(
+                f"global batch {global_batch} does not divide the "
+                f"{total}-device multi-host mesh; choose a divisible batch")
+        warnings.warn(
+            f"batch_size {global_batch} is not divisible by "
+            f"{total} devices; using only {n} (idle devices waste "
+            "throughput — pick a divisible batch size)", stacklevel=2)
     return make_mesh(num_devices=n)

@@ -62,7 +62,12 @@ def make_train_step_shard_map(loss_fn: Callable, mesh,
         loss_sum_global = jax.lax.psum(loss_sum, axis)
 
         new_state = state.apply_gradients(grads, batch_stats)
-        return new_state, {"loss_sum": loss_sum_global, "count": w_global}
+        # Tracker contract (same as the GSPMD step): weight by batch ROWS,
+        # not by the criterion's own normalizer (garbage's w is a
+        # class-weight sum — wrong unit for imgs/sec and loss averaging).
+        rows = jax.lax.psum(jnp.sum(mask), axis)
+        mean_global = loss_sum_global / jnp.maximum(w_global, 1e-12)
+        return new_state, {"loss_sum": mean_global * rows, "count": rows}
 
     state_spec = P()  # replicated pytree
     data_spec = P(axis)

@@ -91,6 +91,7 @@ def main(argv=None):
 
     cfg = NameSpace({"model": {"variant": args.model_variant},
                      "data": {"reader": args.reader},
+                     "workers": args.workers,
                      "seed": 42})
     model = engine.build_model(cfg, n_classes)
     # Evaluation never steps the optimizer: identity avoids allocating

@@ -56,8 +56,7 @@ from .models.resnet import ResNet50, build_resnet
 from .ops.losses import (AverageMeter, EarlyStopping, entropic_openset_loss,
                          garbage_loss, softmax_loss)
 from .ops.metrics import confidence_sums, loss_regime_params
-from .parallel.mesh import (batch_sharding, data_mesh_for_batch, make_mesh,
-                            replicated)
+from .parallel.mesh import batch_sharding, data_mesh_for_batch, replicated
 from .pipeline import InputPipeline, PILReader, SyntheticReader, \
     pipeline_from_dataset
 
@@ -214,10 +213,6 @@ def make_loss_fn(loss_type: str, unk_weight: float = 1.0,
     raise ValueError(f"unknown loss type {loss_type!r}")
 
 
-def _as_loss_args(loss_fn, logits, labels, mask):
-    return loss_fn(logits, labels, mask)
-
-
 # --------------------------------------------------------------------------
 # Jitted steps
 # --------------------------------------------------------------------------
@@ -240,7 +235,7 @@ def make_train_step(loss_fn: Callable, mesh=None) -> Callable:
             (logits, _), mutated = state.apply_fn(
                 {"params": params, "batch_stats": state.batch_stats},
                 imgs, train=True, mutable=["batch_stats"])
-            loss, count = _as_loss_args(loss_fn, logits, labels, mask)
+            loss, count = loss_fn(logits, labels, mask)
             return loss, (mutated["batch_stats"], count)
 
         (loss, (batch_stats, _)), grads = jax.value_and_grad(
@@ -276,7 +271,7 @@ def make_eval_step(loss_fn: Callable, loss_type: str, n_classes: int,
             {"params": state.params, "batch_stats": state.batch_stats},
             imgs, train=False)
         scores = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-        loss, _ = _as_loss_args(loss_fn, logits, labels, mask)
+        loss, _ = loss_fn(logits, labels, mask)
         kn_sum, kn_cnt, neg_sum, neg_cnt = confidence_sums(
             scores, labels, sample_mask=mask, **regime)
         rows = jnp.sum(mask)
@@ -420,7 +415,7 @@ def _make_reader(cfg, crop: int = 224):
         if native_available():
             # Batch mode: one GIL-free C++ thread-pool call per batch.
             if kind in ("auto", "native_batch"):
-                workers = int(getattr(cfg, "workers", 16) or 16)
+                workers = int(getattr(cfg, "workers", 4) or 4)
                 return NativeBatchReader(crop=crop, threads=workers)
             return NativeReader(crop=crop)
         if kind != "auto":
@@ -447,17 +442,35 @@ def build_model(cfg, n_classes: int) -> ResNet50:
                         bn_stats_rows=bn_rows, space_to_depth=s2d)
 
 
+class _NullWriter:
+    """Scalar-writer stub for non-lead processes in multi-host runs."""
+
+    def add_scalar(self, *a, **k):
+        pass
+
+    def flush(self):
+        pass
+
+    def close(self):
+        pass
+
+
 def worker(cfg) -> dict:
     """Train one (protocol, loss) run end to end.  Returns summary info."""
-    set_seeds(cfg.seed)
-    rng = jax.random.PRNGKey(cfg.seed)
+    rng = set_seeds(cfg.seed)
 
     best_score = 0.0
     start_epoch = 0
 
     out_dir = pathlib.Path(cfg.output_directory)
     out_dir.mkdir(parents=True, exist_ok=True)
-    log = configure_logger(logfile=out_dir / cfg.log_name)
+    # Multi-host: only the lead process writes files (logfile, scalar
+    # record, checkpoints) — concurrent writers to a shared output
+    # directory would race on the same paths.  "Log only on first
+    # process": same policy the reference states (reference train.py:248).
+    is_lead = jax.process_index() == 0
+    log = configure_logger(
+        logfile=(out_dir / cfg.log_name) if is_lead else None)
 
     # -- datasets + label surgery (reference train.py:270-293) -------------
     train_file = pathlib.Path(str(cfg.data.train_file).format(cfg.protocol))
@@ -494,8 +507,8 @@ def worker(cfg) -> dict:
     data_sh = batch_sharding(mesh)
     rep = replicated(mesh)
     image_size = int(getattr(cfg.data, "image_size", 224) or 224)
-    reader = _make_reader(cfg, crop=image_size)
     workers = int(getattr(cfg, "workers", 4) or 4)
+    reader = _make_reader(cfg, crop=image_size)
     # drop_remainder keeps train batch-norm statistics free of padded rows;
     # datasets smaller than one batch fall back to a padded+masked batch.
     drop_remainder = len(train_ds) >= int(cfg.batch_size)
@@ -563,8 +576,9 @@ def worker(cfg) -> dict:
     log.info(f"Device mesh: {mesh.shape} on "
              f"{jax.devices()[0].platform.upper()}")
     log.info("Training...")
-    writer = SummaryWriter(log_dir=out_dir,
-                           filename_suffix="-" + str(cfg.log_name))
+    writer = (SummaryWriter(log_dir=out_dir,
+                            filename_suffix="-" + str(cfg.log_name))
+              if is_lead else _NullWriter())
 
     # Optional on-demand profiler trace (SURVEY.md §5: the reference has no
     # tracing at all); cfg.profile.{dir, epochs} captures XLA/TPU traces
@@ -609,12 +623,14 @@ def worker(cfg) -> dict:
                 f"t:{train_time:.1f}s v:{val_time:.1f}s")
 
             ckpt_name = str(out_dir / cfg.name) + "_curr.pth"
-            save_checkpoint(ckpt_name, state, epoch, curr_score)
+            if is_lead:
+                save_checkpoint(ckpt_name, state, epoch, curr_score)
             if curr_score > best_score:
                 best_score = curr_score
                 ckpt_name = str(out_dir / cfg.name) + "_best.pth"
                 log.info(f"Saving best model {ckpt_name} at epoch: {epoch}")
-                save_checkpoint(ckpt_name, state, epoch, best_score)
+                if is_lead:
+                    save_checkpoint(ckpt_name, state, epoch, best_score)
 
             if early_stopping is not None:
                 early_stopping(metrics=curr_score, loss=False)
