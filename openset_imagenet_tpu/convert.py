@@ -132,6 +132,42 @@ def torch_state_dict_to_variables(state_dict, template_variables):
             "batch_stats": rebuild("batch_stats")}
 
 
+def variables_to_torch_state_dict(variables) -> Dict[str, np.ndarray]:
+    """Inverse mapping: flax variables -> reference-style torch keys.
+
+    Lets models trained here be exported back into the reference
+    implementation's checkpoint layout (numpy values; wrap with
+    ``torch.from_numpy`` + ``torch.save`` to produce a ``.pth``).
+    """
+    import jax
+
+    out: Dict[str, np.ndarray] = {}
+    for coll in ("params", "batch_stats"):
+        for path, leaf in jax.tree_util.tree_flatten_with_path(
+                variables[coll])[0]:
+            keys = tuple(getattr(p, "key", getattr(p, "name", p))
+                         for p in path)
+            t = np.asarray(leaf, dtype=np.float32)
+            if keys[-1] == "kernel":
+                t = (np.transpose(t, (3, 2, 0, 1)) if t.ndim == 4
+                     else np.transpose(t, (1, 0)))
+            out[_torch_key(keys)] = t
+    return out
+
+
+def save_reference_checkpoint(path, state, epoch: int, best_score: float):
+    """Write a torch ``.pth`` the reference implementation can load."""
+    import torch
+
+    tdict = {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in
+             variables_to_torch_state_dict(
+                 {"params": state.params,
+                  "batch_stats": state.batch_stats}).items()}
+    torch.save({"model_state_dict": tdict, "epoch": int(epoch) + 1,
+                "opt_state_dict": {}, "best_score": float(best_score)},
+               path)
+
+
 def load_reference_checkpoint(path, model, image_size: int = 224):
     """Load a reference ``.pth`` (torch) checkpoint into flax variables.
 

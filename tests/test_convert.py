@@ -161,3 +161,44 @@ def test_worker_finetunes_from_torch_checkpoint(tmp_path):
     # Finetune starts at the stored epoch with best reset to 0.
     assert info["last_epoch"] == 3
     assert np.isfinite(info["best_score"])
+
+
+def test_export_roundtrip_flax_torch_flax():
+    """variables -> torch keys -> variables is the identity."""
+    from openset_imagenet_tpu.convert import variables_to_torch_state_dict
+
+    model = build_resnet("tiny", fc_layer_dim=3, out_features=3)
+    variables = model.init(jax.random.PRNGKey(2),
+                           jnp.zeros((1, 32, 32, 3), jnp.float32),
+                           train=False)
+    tdict = variables_to_torch_state_dict(variables)
+    back = torch_state_dict_to_variables(tdict, variables)
+    for coll in ("params", "batch_stats"):
+        a = jax.tree_util.tree_leaves(variables[coll])
+        b = jax.tree_util.tree_leaves(back[coll])
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       atol=1e-7)
+
+
+def test_save_reference_checkpoint_loads_back(tmp_path):
+    torch = pytest.importorskip("torch")
+    from openset_imagenet_tpu import train as engine
+    from openset_imagenet_tpu.config import NameSpace
+    from openset_imagenet_tpu.convert import (load_reference_checkpoint,
+                                              save_reference_checkpoint)
+
+    model = build_resnet("tiny", fc_layer_dim=3, out_features=3)
+    tx = engine.build_optimizer(
+        NameSpace({"type": "adam", "lr": 1e-3, "decay": 0, "gamma": 1}), 1)
+    state = engine.create_state(model, jax.random.PRNGKey(0), tx,
+                                image_size=32)
+    path = tmp_path / "export.pth"
+    save_reference_checkpoint(path, state, epoch=4, best_score=1.5)
+
+    variables, epoch, best = load_reference_checkpoint(path, model,
+                                                       image_size=32)
+    assert epoch == 5 and best == 1.5
+    for x, y in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(variables["params"])):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-7)
