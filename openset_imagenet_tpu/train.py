@@ -459,6 +459,14 @@ def worker(cfg) -> dict:
     """Train one (protocol, loss) run end to end.  Returns summary info."""
     rng = set_seeds(cfg.seed)
 
+    # Optional persistent XLA compilation cache: sweep runs and resumes
+    # skip the multi-minute ResNet-50 TPU compile after the first run.
+    cache_dir = getattr(cfg, "compilation_cache", None)
+    if cache_dir:
+        jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
     best_score = 0.0
     start_epoch = 0
 
