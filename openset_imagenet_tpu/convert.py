@@ -159,7 +159,9 @@ def save_reference_checkpoint(path, state, epoch: int, best_score: float):
     """Write a torch ``.pth`` the reference implementation can load."""
     import torch
 
-    tdict = {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in
+    # .copy(): jax buffers surface as non-writable numpy views, which torch
+    # tensors cannot wrap safely.
+    tdict = {k: torch.from_numpy(np.ascontiguousarray(v).copy()) for k, v in
              variables_to_torch_state_dict(
                  {"params": state.params,
                   "batch_stats": state.batch_stats}).items()}
