@@ -62,17 +62,24 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def data_mesh_for_batch(global_batch: int) -> Mesh:
+def data_mesh_for_batch(global_batch: int, devices=None) -> Mesh:
     """Largest 1-D data mesh whose size divides the global batch.
 
     A 1-sample remainder cannot be split over more chips than it has rows;
     shared by the train worker and the evaluate CLI.  Shrinking idles
     devices, so it warns loudly; on multi-host it raises instead (excluding
     devices would strand whole processes).
+
+    ``devices`` restricts the mesh to an explicit device subset — the
+    per-run isolation behind the reference's ``--gpu`` pinning (reference
+    ``script/train.py:58-60``): parallel sweep queues each build a
+    disjoint single-device mesh instead of contending for all chips.
     """
     import warnings
 
-    total = jax.device_count()
+    if devices is None:
+        devices = jax.devices()
+    total = len(devices)
     n = total
     while int(global_batch) % n:
         n -= 1
@@ -85,4 +92,19 @@ def data_mesh_for_batch(global_batch: int) -> Mesh:
             f"batch_size {global_batch} is not divisible by "
             f"{total} devices; using only {n} (idle devices waste "
             "throughput — pick a divisible batch size)", stacklevel=2)
-    return make_mesh(num_devices=n)
+    return make_mesh(num_devices=n, devices=devices)
+
+
+def select_device(index: int):
+    """``[jax.devices()[index]]`` with a loud out-of-range error.
+
+    Device-pinning helper for the ``--gpu`` CLI flags: unlike the
+    reference's CUDA_VISIBLE_DEVICES-style process env pinning, JAX runs
+    pin by building their mesh over one chosen device.
+    """
+    devices = jax.devices()
+    if not 0 <= int(index) < len(devices):
+        raise ValueError(
+            f"device index {index} out of range: this host has "
+            f"{len(devices)} {devices[0].platform.upper()} device(s)")
+    return [devices[int(index)]]

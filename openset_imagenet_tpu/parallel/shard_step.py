@@ -35,7 +35,7 @@ from .mesh import batch_sharding, replicated
 def make_train_step_shard_map(loss_fn: Callable, mesh,
                               axis: str = "data") -> Callable:
     """Compile a per-device train step with explicit collectives."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map  # public API (jax>=0.6); was jax.experimental
 
     def per_device(state, images, labels, mask):
         imgs = images.astype(jnp.float32) * (1.0 / 255.0)
@@ -75,7 +75,7 @@ def make_train_step_shard_map(loss_fn: Callable, mesh,
         per_device, mesh=mesh,
         in_specs=(state_spec, data_spec, data_spec, data_spec),
         out_specs=(state_spec, state_spec),
-        check_rep=False)  # optimizer update is replicated by construction
+        check_vma=False)  # optimizer update is replicated by construction
 
     return jax.jit(sharded, donate_argnums=(0,))
 

@@ -87,7 +87,12 @@ def main(argv=None):
     else:
         n_classes = val_ds.label_count - 1
 
-    mesh = data_mesh_for_batch(args.batch_size)
+    if args.gpu is not None:
+        from ..parallel.mesh import select_device
+        mesh = data_mesh_for_batch(args.batch_size,
+                                   devices=select_device(args.gpu))
+    else:
+        mesh = data_mesh_for_batch(args.batch_size)
 
     cfg = NameSpace({"model": {"variant": args.model_variant},
                      "data": {"reader": args.reader},

@@ -145,7 +145,7 @@ def load_confidence_curves(args):
 def conf_and_ccr_table(args, scores, epochs):
     """LaTeX table of test-set γ confidences + CCR@FPR (plot_all.py:344)."""
     from ..ops.metrics import confidence
-    from ..ops.oscr import calculate_oscr
+    from ..ops.oscr import calculate_oscr, ccr_at_fpr
 
     query = [1e-3, 1e-2, 0.1, 1.0]
     with open(args.table, "w") as table:
@@ -168,16 +168,9 @@ def conf_and_ccr_table(args, scores, epochs):
                             f"{epochs[protocol][loss][0]} & "
                             f"{kn_conf:1.3f} & {neg_conf:1.3f}")
                 for q in query:
-                    idx = int(np.abs(np.asarray(fpr_) - q).argmin()) \
-                        if len(fpr_) else -1
-                    if idx < 0:
-                        table.write(" & ---")
-                        continue
-                    error = round(100 * abs(fpr_[idx] - q) / q, 1)
-                    if error >= 10.0:
-                        table.write(" & ---")
-                    else:
-                        table.write(f" & {ccr_[idx]:1.3f}")
+                    value = ccr_at_fpr(ccr_, fpr_, q)
+                    table.write(" & ---" if value is None
+                                else f" & {value:1.3f}")
                 table.write("\\\\\n")
             if p < len(args.protocols) - 1:
                 table.write("\\midrule\n")

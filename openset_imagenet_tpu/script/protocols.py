@@ -42,14 +42,16 @@ def get_args(argv=None):
     if args.tex_files is not None and \
             len(args.tex_files) != len(args.protocols):
         raise ValueError(
-            f"If specified, the number of --tex-files {len(args.tex_files)} "
-            f"and --protocols {len(args.protocols)} need to be identical")
+            f"--tex-files wants exactly one file per protocol: got "
+            f"{len(args.tex_files)} file(s) for {len(args.protocols)} "
+            "protocol(s)")
     return args
 
 
 def main(argv=None):
     args = get_args(argv)
-    for i, protocol_num in enumerate(args.protocols):
+    tex_targets = args.tex_files or [None] * len(args.protocols)
+    for protocol_num, tex_file in zip(args.protocols, tex_targets):
         protocol = OpenSetProtocol(
             imagenet_dir=args.imagenet_directory,
             metadata_path=args.metadata_directory,
@@ -57,8 +59,8 @@ def main(argv=None):
         protocol.create_dataset(random_state=args.seed)
         protocol.print_data()
         protocol.save_datasets_to_csv(args.output_directory)
-        if args.tex_files:
-            protocol.write_class_list(args.tex_files[i])
+        if tex_file is not None:
+            protocol.write_class_list(tex_file)
 
 
 if __name__ == "__main__":

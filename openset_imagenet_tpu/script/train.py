@@ -1,9 +1,10 @@
 """``train_imagenet`` CLI: train one (protocol, loss) run.
 
 Parity with reference ``script/train.py:8-67``: positional YAML config +
-protocol, ``-o/--output-directory``, ``-g/--gpu`` (accepted; device placement
-actually comes from the JAX mesh), ``--nice`` process priority; the CLI
-overlays those fields onto the loaded config and calls the engine worker.
+protocol, ``-o/--output-directory``, ``-g/--gpu`` (pins the run's mesh to
+one device index — the JAX equivalent of the reference's per-process GPU
+selection), ``--nice`` process priority; the CLI overlays those fields onto
+the loaded config and calls the engine worker.
 """
 
 from __future__ import annotations
@@ -29,8 +30,9 @@ def get_args(argv=None):
                         help="Directory for trained models and logs")
     parser.add_argument("-g", "--gpu", type=int, nargs="?", default=None,
                         const=0,
-                        help="Accepted for reference-CLI compatibility; "
-                             "JAX selects devices via the mesh")
+                        help="Pin this run to one device index (its mesh "
+                             "uses only that chip); omit to data-"
+                             "parallelise over the whole mesh")
     parser.add_argument("--nice", type=int, default=20,
                         help="Process niceness (os.nice)")
     return parser.parse_args(argv)

@@ -57,48 +57,60 @@ def get_args(argv=None):
     return args
 
 
-def commands(args):
-    """Per-queue lists of training commands (one queue per device)."""
+def materialize_run_config(args, protocol: int, loss_function: str):
+    """Write one run's YAML under ``Protocol_{p}/`` and return its path.
+
+    The base config is re-loaded per run with ``loss.type``/``name``/
+    ``log_name`` mutated; ``--continue-training`` probes for an existing
+    ``{loss}_curr.pth`` and points ``checkpoint`` at it when found
+    (reference ``script/train_all.py:60-64``).
+    """
     from ..config import load_yaml
 
-    queue_idx = 0
+    run_dir = os.path.join(args.output_directory, f"Protocol_{protocol}")
+    os.makedirs(run_dir, exist_ok=True)
+    cfg = load_yaml(args.configuration)
+    cfg.loss.type = loss_function
+    cfg.name = loss_function
+    cfg.parallel = args.parallel
+    cfg.log_name = f"{loss_function}.log"
+    if args.continue_training:
+        probe = os.path.join(run_dir, f"{loss_function}_curr.pth")
+        if os.path.exists(probe):
+            cfg.checkpoint = probe
+    cfg_path = os.path.join(run_dir, f"{loss_function}.yaml")
+    with open(cfg_path, "w") as f:
+        f.write(cfg.dump())
+    return cfg_path, run_dir
+
+
+def commands(args):
+    """Split the (protocol x loss) sweep into per-device run queues.
+
+    With ``--gpus`` the runs round-robin over one queue per device index
+    and each child is pinned to its queue's device via ``--gpu`` (the
+    worker builds a single-device mesh); without it everything lands in
+    one sequential queue over the full mesh.
+    """
     n_queues = len(args.gpus) if args.gpus is not None else 1
     queues = [[] for _ in range(n_queues)]
-    for protocol in args.protocols:
-        for loss_function in args.loss_functions:
-            config = load_yaml(args.configuration)
-            outdir = os.path.join(args.output_directory,
-                                  f"Protocol_{protocol}")
-            config.loss.type = loss_function
-            config.name = loss_function
-            config.parallel = args.parallel
-            config.log_name = loss_function + ".log"
-            if args.continue_training:
-                checkpoint_file = os.path.join(outdir,
-                                               loss_function + "_curr.pth")
-                if os.path.exists(checkpoint_file):
-                    config.checkpoint = checkpoint_file
-
-            config_file = os.path.join(outdir, loss_function + ".yaml")
-            os.makedirs(outdir, exist_ok=True)
-            with open(config_file, "w") as f:
-                f.write(config.dump())
-
-            call = [sys.executable, "-m", "openset_imagenet_tpu.script.train",
-                    config_file, str(protocol),
-                    "--output-directory", outdir, "--nice", str(args.nice)]
-            if args.gpus is not None:
-                call += ["--gpu", str(args.gpus[queue_idx])]
-                queues[queue_idx].append(call)
-                queue_idx = (queue_idx + 1) % n_queues
-            else:
-                queues[0].append(call)
+    sweep = [(p, l) for p in args.protocols for l in args.loss_functions]
+    for i, (protocol, loss_function) in enumerate(sweep):
+        cfg_path, run_dir = materialize_run_config(args, protocol,
+                                                   loss_function)
+        call = [sys.executable, "-m", "openset_imagenet_tpu.script.train",
+                cfg_path, str(protocol), "--output-directory", run_dir,
+                "--nice", str(args.nice)]
+        queue = i % n_queues
+        if args.gpus is not None:
+            call += ["--gpu", str(args.gpus[queue])]
+        queues[queue].append(call)
     return queues
 
 
 def run_queue(queue):
     for call in queue:
-        print("Running experiment: " + " ".join(call))
+        print("sweep: launching " + " ".join(call))
         subprocess.call(call)
 
 

@@ -511,7 +511,16 @@ def worker(cfg) -> dict:
                            class_weights=class_weights, fused=fused)
 
     # -- mesh + input pipelines ---------------------------------------------
-    mesh = data_mesh_for_batch(cfg.batch_size)
+    # cfg.gpu pins this run to one device (real per-queue isolation for
+    # parallel sweeps, reference script/train.py:58-60); default is the
+    # full data-parallel mesh.
+    gpu = getattr(cfg, "gpu", None)
+    if gpu is not None:
+        from .parallel.mesh import select_device
+        mesh = data_mesh_for_batch(cfg.batch_size,
+                                   devices=select_device(gpu))
+    else:
+        mesh = data_mesh_for_batch(cfg.batch_size)
     data_sh = batch_sharding(mesh)
     rep = replicated(mesh)
     image_size = int(getattr(cfg.data, "image_size", 224) or 224)
@@ -660,4 +669,5 @@ def worker(cfg) -> dict:
         writer.close()
     log.info("Training finished")
     return {"best_score": best_score, "last_epoch": epoch,
-            "n_classes": n_classes}
+            "n_classes": n_classes,
+            "device_ids": [d.id for d in mesh.devices.flat]}
