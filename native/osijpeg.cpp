@@ -158,8 +158,17 @@ static int decode_core(const uint8_t* jpeg, size_t len, int resize,
     rw = std::max(1, static_cast<int>(
         static_cast<double>(resize) * full_w / full_h));
   }
-  if (top < 0) top = std::max(0, (rh - crop) / 2);
-  if (left < 0) left = std::max(0, (rw - crop) / 2);
+  // Center offset = int(round(d / 2.0)) with round-half-to-even, matching
+  // torchvision's F_pil.center_crop (floor differs when d % 4 == 3).
+  auto center_offset = [](int extent, int size) {
+    int d = extent - size;
+    if (d <= 0) return 0;
+    int k = d / 2;
+    if ((d & 1) && (k & 1)) ++k;
+    return k;
+  };
+  if (top < 0) top = center_offset(rh, crop);
+  if (left < 0) left = center_offset(rw, crop);
   // Defensive clamp: fractional-draw rounding at the caller can land one
   // past the last valid offset.
   top = std::min(top, std::max(rh - crop, 0));

@@ -118,10 +118,10 @@ def pil_replay(source, resize: int, crop: int, top=None, left=None,
     h, w = arr.shape[:2]
     if top is None:
         top = (int(utop * (max(h - crop, 0) + 1)) if utop >= 0
-               else (h - crop) // 2)
+               else Tr.center_crop_offset(h, crop))
     if left is None:
         left = (int(uleft * (max(w - crop, 0) + 1)) if uleft >= 0
-                else (w - crop) // 2)
+                else Tr.center_crop_offset(w, crop))
     top = min(max(int(top), 0), max(h - crop, 0))
     left = min(max(int(left), 0), max(w - crop, 0))
     arr = arr[top:top + crop, left:left + crop]

@@ -372,27 +372,41 @@ def validate(state: TrainState, pipeline: InputPipeline, epoch: int,
 
 
 def get_arrays(state: TrainState, pipeline: InputPipeline,
-               forward_step: Optional[Callable] = None, mesh=None
+               forward_step: Optional[Callable] = None, mesh=None,
+               gather: Any = "auto"
                ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Extract ``(targets, logits, features, scores)`` for a whole dataset.
 
     Parity: reference ``train.py:200-234`` — same tuple, same order, numpy
     on host; padded rows are dropped via the mask.
+
+    Multi-host SPMD: each process addresses only its shard of every global
+    batch, so labels/mask and the forward outputs are all-gathered to every
+    host with ``multihost_utils.process_allgather`` (tiled along the batch
+    dim) — evaluation works under the same mesh config as training.
+    ``gather`` forces the allgather code path on (tests) or off; ``"auto"``
+    enables it exactly when ``jax.process_count() > 1``.
     """
-    if jax.process_count() > 1:
-        raise NotImplementedError(
-            "get_arrays gathers full score matrices to one host; run "
-            "evaluation single-process (training is multi-host capable)")
+    if gather == "auto":
+        gather = jax.process_count() > 1
     if forward_step is None:
         forward_step = make_forward_step(mesh)
+    if gather:
+        from jax.experimental import multihost_utils
+
+        def fetch(x):
+            return np.asarray(
+                multihost_utils.process_allgather(x, tiled=True))
+    else:
+        fetch = np.asarray
     targets, logits, feats, scores = [], [], [], []
     for batch in pipeline.epoch(0):
         lg, ft, sc = forward_step(state, batch.images)
-        keep = np.asarray(batch.mask) > 0
-        targets.append(np.asarray(batch.labels)[keep])
-        logits.append(np.asarray(lg)[keep])
-        feats.append(np.asarray(ft)[keep])
-        scores.append(np.asarray(sc)[keep])
+        keep = fetch(batch.mask) > 0
+        targets.append(fetch(batch.labels)[keep])
+        logits.append(fetch(lg)[keep])
+        feats.append(fetch(ft)[keep])
+        scores.append(fetch(sc)[keep])
     return (np.concatenate(targets).astype(np.float32),
             np.concatenate(logits), np.concatenate(feats),
             np.concatenate(scores))

@@ -78,14 +78,29 @@ def resized_geometry(w: int, h: int, size: int):
     return max(1, int(size * w / h)), size
 
 
+def center_crop_offset(extent: int, size: int) -> int:
+    """torchvision's center-crop offset: ``int(round((extent-size)/2.0))``.
+
+    Python's ``round`` is half-to-even, NOT floor — the two differ by one
+    pixel whenever ``extent - size ≡ 3 (mod 4)`` (e.g. a 343-wide resized
+    image).  Single source of truth for every crop path (host transforms,
+    native decoder fallback, C++ kernel mirrors the same formula).
+    """
+    d = max(0, int(extent) - int(size))
+    k = d // 2
+    if d % 2 and k % 2:  # x.5 rounds to the even neighbour
+        k += 1
+    return k
+
+
 def center_crop(arr: np.ndarray, size: int = 224) -> np.ndarray:
     """Center crop of an ``[H, W, C]`` array (pads if smaller, like tv)."""
     h, w = arr.shape[:2]
     if h < size or w < size:
         arr = _pad_to(arr, size)
         h, w = arr.shape[:2]
-    top = (h - size) // 2
-    left = (w - size) // 2
+    top = center_crop_offset(h, size)
+    left = center_crop_offset(w, size)
     return arr[top:top + size, left:left + size]
 
 

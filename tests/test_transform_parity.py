@@ -1,9 +1,10 @@
-"""Golden parity: host transforms vs torchvision's (the reference's C3).
+"""Golden parity: host transforms vs the reference torchvision pipeline (C3).
 
-torchvision (CPU) is available in the test environment only; the framework
-itself never imports torch.  Eval transforms must be bit-identical (both are
-PIL resize + center crop); train transforms are checked distributionally
-(crop offsets uniform, flip rate ~0.5).
+The committed fixture ``goldens/transforms_golden.npz`` holds outputs of an
+independent transcription of torchvision's PIL-backend ``Resize(256) ->
+CenterCrop(224)`` (see ``make_transform_goldens.py``), so the bit-exactness
+check runs in EVERY environment.  When torchvision happens to be installed,
+an extra test validates directly against it (and the golden generator).
 """
 
 import numpy as np
@@ -11,34 +12,61 @@ import pytest
 from PIL import Image
 
 from openset_imagenet_tpu import transforms as T
-
-torchvision = pytest.importorskip("torchvision")
-from torchvision import transforms as tvt  # noqa: E402
-
-
-def make_image(w=500, h=375, seed=0):
-    rng = np.random.default_rng(seed)
-    small = rng.integers(0, 256, (16, 20, 3), np.uint8)
-    return Image.fromarray(small).resize((w, h), Image.BILINEAR)
+from tests.make_transform_goldens import (CROP, GOLDEN_PATH, RESIZE, SIZES,
+                                          make_image,
+                                          reference_eval_pipeline)
 
 
-@pytest.mark.parametrize("w,h", [(500, 375), (375, 500), (256, 256),
-                                 (640, 480), (231, 310)])
-def test_eval_transform_bit_identical_to_torchvision(w, h):
-    img = make_image(w, h)
-    ref_pipeline = tvt.Compose([tvt.Resize(256), tvt.CenterCrop(224),
-                                tvt.ToTensor()])
-    ref = (ref_pipeline(img).numpy().transpose(1, 2, 0) * 255).round()
-    ours = T.eval_transform(img, 224, 256).astype(np.float64)
-    np.testing.assert_array_equal(ours, ref)
+@pytest.fixture(scope="module")
+def goldens():
+    return np.load(GOLDEN_PATH)
+
+
+@pytest.mark.parametrize("i,wh", list(enumerate(SIZES)))
+def test_eval_transform_matches_committed_golden(i, wh, goldens):
+    w, h = wh
+    img = make_image(w, h, seed=i)
+    ours = T.eval_transform(img, CROP, RESIZE)
+    np.testing.assert_array_equal(ours, goldens[f"eval_{w}x{h}"])
+
+
+@pytest.mark.parametrize("i,wh", list(enumerate(SIZES)))
+def test_native_fallback_replay_matches_golden(i, wh, goldens, tmp_path):
+    """The native reader's PIL fallback path uses the same geometry."""
+    from openset_imagenet_tpu.native.jpeg import pil_replay
+
+    w, h = wh
+    # pil_replay decodes from a file; PNG keeps the pixels lossless.
+    path = tmp_path / f"img_{i}.png"
+    make_image(w, h, seed=i).save(path)
+    ours = pil_replay(path, RESIZE, CROP)
+    np.testing.assert_array_equal(ours, goldens[f"eval_{w}x{h}"])
+
+
+def test_center_crop_offset_rounds_half_to_even():
+    """torchvision: int(round(d/2.0)); differs from floor at d ≡ 3 (mod 4)."""
+    for extent in range(224, 600):
+        d = extent - 224
+        assert T.center_crop_offset(extent, 224) == int(round(d / 2.0)), d
+
+
+def test_golden_231x310_hits_the_rounding_case():
+    """(231, 310) resizes to 256 x 343; a floor-based crop is 1 px off."""
+    img = make_image(231, 310, seed=4)
+    resized = np.asarray(T.resize_shorter_side(img, RESIZE))
+    assert resized.shape[0] == 343  # d = 119, d % 4 == 3
+    golden = reference_eval_pipeline(img)
+    floor_crop = resized[(343 - CROP) // 2:(343 - CROP) // 2 + CROP,
+                         16:16 + CROP]
+    assert not np.array_equal(floor_crop, golden)
+    np.testing.assert_array_equal(T.eval_transform(img, CROP, RESIZE), golden)
 
 
 def test_uint8_to_float_scaling_matches_totensor():
     """ToTensor divides by 255; the device step multiplies by 1/255."""
     img = make_image(300, 300)
-    ref = tvt.Compose([tvt.Resize(256), tvt.CenterCrop(224),
-                       tvt.ToTensor()])(img).numpy().transpose(1, 2, 0)
-    ours_u8 = T.eval_transform(img, 224, 256)
+    ref = reference_eval_pipeline(img).astype(np.float32) / 255.0
+    ours_u8 = T.eval_transform(img, CROP, RESIZE)
     np.testing.assert_allclose(ours_u8.astype(np.float32) / 255.0, ref,
                                atol=1e-7)
 
@@ -64,3 +92,18 @@ def test_random_crop_offsets_cover_range():
     assert min(tops) == 0 and max(tops) == arr.shape[0] - 224
     assert min(lefts) < 10 and max(lefts) > arr.shape[1] - 234
     assert 0.4 < flips / 500 < 0.6
+
+
+def test_against_installed_torchvision_if_available():
+    """Direct torchvision check (skipped where torchvision is absent)."""
+    torchvision = pytest.importorskip("torchvision")
+    from torchvision import transforms as tvt
+
+    for i, (w, h) in enumerate(SIZES):
+        img = make_image(w, h, seed=i)
+        ref_pipeline = tvt.Compose([tvt.Resize(RESIZE), tvt.CenterCrop(CROP),
+                                    tvt.ToTensor()])
+        ref = (ref_pipeline(img).numpy().transpose(1, 2, 0) * 255).round()
+        np.testing.assert_array_equal(
+            T.eval_transform(img, CROP, RESIZE).astype(np.float64), ref)
+        np.testing.assert_array_equal(reference_eval_pipeline(img), ref)
