@@ -110,9 +110,15 @@ class OpenSetProtocol:
 
     # -- class-set construction (reference protocol.py:125-168) ------------
     def get_descendants_wid(self, wnid: str, in_imagenet: bool = True):
-        if in_imagenet:
-            return self.hierarchy.imagenet_descendants(wnid)
-        return self.hierarchy.all_descendants_sorted(wnid)
+        """Sorted descendant class list (reference ``protocol.py:100-112``).
+
+        Both branches return the same in-ImageNet chain-descendant set:
+        robustness's ``descendants_all`` only ever contains in-ImageNet
+        wnids, so the reference's ``in_imagenet`` flag does not change the
+        result (see :mod:`openset_imagenet_tpu.wordnet`).
+        """
+        del in_imagenet  # parity: a no-op flag in the reference, kept
+        return self.hierarchy.imagenet_descendants(wnid)
 
     def _grouped_classes(self):
         """(known, negative, unknown) wnid lists before dedup/sort."""
