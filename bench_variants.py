@@ -1,0 +1,115 @@
+"""Perf exploration harness: time train-step variants on the real chip.
+
+Writes one JSON line per variant to stdout (flush immediately) so progress
+is visible while running.  Variants are built from the same engine code as
+bench.py; this file is a tuning tool, not the headline bench.
+
+Usage: python bench_variants.py [variant ...]   (default: a standard sweep)
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build(batch: int, *, s2d=True, ghost=64, steps_mode="gspmd",
+          n_classes=1000, fused_loss=False):
+    from openset_imagenet_tpu import train as engine
+    from openset_imagenet_tpu.config import NameSpace
+    from openset_imagenet_tpu.models.resnet import build_resnet
+
+    model = build_resnet("resnet50", fc_layer_dim=n_classes,
+                         out_features=n_classes, logit_bias=False,
+                         space_to_depth=s2d, bn_stats_rows=ghost)
+    tx = engine.build_optimizer(
+        NameSpace({"type": "adam", "lr": 1e-3, "decay": 0, "gamma": 1}), 1)
+    state = engine.create_state(model, jax.random.PRNGKey(0), tx)
+    loss_fn = engine.make_loss_fn("entropic", unk_weight=1.0,
+                                  fused=fused_loss)
+    step = engine.make_train_step(loss_fn, None)
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.integers(0, 256, (batch, 224, 224, 3),
+                                      np.uint8))
+    labels = jnp.asarray(rng.integers(-1, n_classes, batch).astype(np.int32))
+    mask = jnp.ones((batch,), jnp.float32)
+    return state, step, (images, labels, mask)
+
+
+def time_step(state, step, batch_arrays, batch, steps=20, warmup=4,
+              repeats=3):
+    for _ in range(warmup):
+        state, m = step(state, *batch_arrays)
+    float(m["loss_sum"])  # sync (block_until_ready is a no-op here)
+    rates = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            state, m = step(state, *batch_arrays)
+        assert np.isfinite(float(m["loss_sum"]))
+        rates.append(batch * steps / (time.perf_counter() - t0))
+    return float(np.median(rates)), state
+
+
+def emit(**kw):
+    print(json.dumps(kw), flush=True)
+
+
+def run_variant(name, batch, **kw):
+    t0 = time.time()
+    state, step, arrays = build(batch, **kw)
+    rate, state = time_step(state, step, arrays, batch)
+    emit(variant=name, batch=batch, imgs_per_sec=round(rate, 1),
+         ms_per_step=round(1000.0 * batch / rate, 2),
+         build_s=round(time.time() - t0, 1), **{k: str(v) for k, v in kw.items()})
+    del state, step, arrays
+
+
+def cost_analysis(batch=256, **kw):
+    """Compile-time FLOP/byte analysis of the step (no execution)."""
+    from openset_imagenet_tpu import train as engine
+    state, step, arrays = build(batch, **kw)
+    lowered = step.lower(state, *arrays)
+    compiled = lowered.compile()
+    ca = compiled.cost_analysis()
+    if isinstance(ca, list):
+        ca = ca[0]
+    emit(variant="cost_analysis", batch=batch,
+         flops=ca.get("flops"), bytes_accessed=ca.get("bytes accessed"),
+         hbm_bytes=ca.get("bytes accessed0{}", None) or
+         ca.get("bytes accessedout", None))
+    return compiled
+
+
+VARIANTS = {
+    "base_s2d_ghost64": lambda: run_variant("base_s2d_ghost64", 256),
+    "ghost32": lambda: run_variant("ghost32", 256, ghost=32),
+    "ghost16": lambda: run_variant("ghost16", 256, ghost=16),
+    "ghost0_full": lambda: run_variant("ghost0_full", 256, ghost=0),
+    "no_s2d": lambda: run_variant("no_s2d", 256, s2d=False),
+    "b128": lambda: run_variant("b128", 128),
+    "b384": lambda: run_variant("b384", 384),
+    "b512": lambda: run_variant("b512", 512),
+    "fusedloss": lambda: run_variant("fusedloss", 256, fused_loss=True),
+    "cost": lambda: cost_analysis(),
+}
+
+
+def main(argv):
+    names = argv or ["base_s2d_ghost64", "ghost32", "ghost16", "b384",
+                     "fusedloss", "cost"]
+    emit(platform=jax.devices()[0].platform, n_devices=jax.device_count(),
+         xla_flags=__import__("os").environ.get("XLA_FLAGS", ""))
+    for n in names:
+        try:
+            VARIANTS[n]()
+        except Exception as e:
+            emit(variant=n, error=str(e)[:300])
+    emit(done=True)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

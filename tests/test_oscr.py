@@ -110,3 +110,20 @@ def test_on_device_oscr_subsampled_thresholds():
     ccr, fpr, taus = calculate_oscr_jax(gt, scores, num_thresholds=16)
     assert len(np.asarray(ccr)) == 16
     assert np.all(np.diff(np.asarray(fpr)) <= 1e-12)  # FPR non-increasing
+
+
+def test_zero_unknowns_fpr_defined_zero_and_table_dashes():
+    """Documented divergence (ops/oscr.py): with zero unknown samples the
+    reference computes FPR = 0/0 = NaN (util.py:118); here FPR is 0.  The
+    downstream CCR@FPR table lookup then reports "---" (no FPR near any
+    query point), never a NaN-driven arbitrary index."""
+    from openset_imagenet_tpu.ops.oscr import calculate_oscr, ccr_at_fpr
+
+    rng = np.random.default_rng(0)
+    gt = rng.integers(0, 5, 64)  # knowns only, no -1/-2 rows
+    scores = rng.dirichlet(np.ones(5), 64)
+    ccr, fpr = calculate_oscr(gt, scores, unk_label=-2)
+    assert len(fpr) and not np.isnan(fpr).any()
+    np.testing.assert_array_equal(fpr, 0.0)
+    for q in (1e-3, 1e-2, 0.1, 1.0):
+        assert ccr_at_fpr(ccr, fpr, q) is None
