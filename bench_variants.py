@@ -17,14 +17,15 @@ import numpy as np
 
 
 def build(batch: int, *, s2d=True, ghost=64, steps_mode="gspmd",
-          n_classes=1000, fused_loss=False):
+          n_classes=1000, fused_loss=False, remat=False):
     from openset_imagenet_tpu import train as engine
     from openset_imagenet_tpu.config import NameSpace
     from openset_imagenet_tpu.models.resnet import build_resnet
 
     model = build_resnet("resnet50", fc_layer_dim=n_classes,
                          out_features=n_classes, logit_bias=False,
-                         space_to_depth=s2d, bn_stats_rows=ghost)
+                         space_to_depth=s2d, bn_stats_rows=ghost,
+                         remat=remat)
     tx = engine.build_optimizer(
         NameSpace({"type": "adam", "lr": 1e-3, "decay": 0, "gamma": 1}), 1)
     state = engine.create_state(model, jax.random.PRNGKey(0), tx)
@@ -37,6 +38,24 @@ def build(batch: int, *, s2d=True, ghost=64, steps_mode="gspmd",
     labels = jnp.asarray(rng.integers(-1, n_classes, batch).astype(np.int32))
     mask = jnp.ones((batch,), jnp.float32)
     return state, step, (images, labels, mask)
+
+
+def build_compiled(batch: int, compiler_options=None, **kw):
+    """Lower + compile the step with explicit TPU compiler options."""
+    state, step, arrays = build(batch, **kw)
+    compiled = step.lower(state, *arrays).compile(
+        compiler_options=compiler_options or {})
+    return state, compiled, arrays
+
+
+def run_variant_opts(name, batch, compiler_options, **kw):
+    t0 = time.time()
+    state, compiled, arrays = build_compiled(batch, compiler_options, **kw)
+    rate, state = time_step(state, compiled, arrays, batch)
+    emit(variant=name, batch=batch, imgs_per_sec=round(rate, 1),
+         ms_per_step=round(1000.0 * batch / rate, 2),
+         build_s=round(time.time() - t0, 1), opts=compiler_options)
+    del state, compiled, arrays
 
 
 def time_step(state, step, batch_arrays, batch, steps=20, warmup=4,
@@ -68,6 +87,52 @@ def run_variant(name, batch, **kw):
     del state, step, arrays
 
 
+def hlo_dump(path="/tmp/osi_step_hlo.txt", batch=256, **kw):
+    """Dump the optimized HLO of the compiled step for fusion attribution."""
+    state, step, arrays = build(batch, **kw)
+    compiled = step.lower(state, *arrays).compile()
+    text = compiled.as_text()
+    with open(path, "w") as f:
+        f.write(text)
+    emit(variant="hlo_dump", path=path, chars=len(text))
+
+
+def multistep(batch=256, k=10, **kw):
+    """Diagnostic: K train steps inside one compiled fori_loop.
+
+    Isolates per-dispatch overhead (significant through a tunneled PJRT
+    backend): if K-steps-per-call is faster per step, dispatch latency is
+    not fully hidden by async execution.
+    """
+    from openset_imagenet_tpu import train as engine
+
+    state, _, arrays = build(batch, **kw)
+    images, labels, mask = arrays
+    loss_fn = engine.make_loss_fn("entropic", unk_weight=1.0)
+    inner = engine.make_train_step(loss_fn, None)
+
+    def k_steps(state, images, labels, mask):
+        def body(_, s):
+            s, _ = inner(s, images, labels, mask)
+            return s
+        return jax.lax.fori_loop(0, k, body, state)
+
+    stepk = jax.jit(k_steps, donate_argnums=(0,))
+    for _ in range(2):
+        state = stepk(state, images, labels, mask)
+    float(jax.tree.leaves(state.params)[0].ravel()[0])  # sync
+    rates = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(3):
+            state = stepk(state, images, labels, mask)
+        float(jax.tree.leaves(state.params)[0].ravel()[0])
+        rates.append(3 * k * batch / (time.perf_counter() - t0))
+    emit(variant=f"multistep_k{k}", batch=batch,
+         imgs_per_sec=round(float(np.median(rates)), 1),
+         ms_per_step=round(1000.0 * batch / float(np.median(rates)), 2))
+
+
 def cost_analysis(batch=256, **kw):
     """Compile-time FLOP/byte analysis of the step (no execution)."""
     from openset_imagenet_tpu import train as engine
@@ -94,7 +159,33 @@ VARIANTS = {
     "b384": lambda: run_variant("b384", 384),
     "b512": lambda: run_variant("b512", 512),
     "fusedloss": lambda: run_variant("fusedloss", 256, fused_loss=True),
+    "remat": lambda: run_variant("remat", 256, remat=True),
+    "remat_ew": lambda: run_variant("remat_ew", 256, ghost=32,
+                                    remat="elementwise"),
+    "cost_ew": lambda: cost_analysis(ghost=32, remat="elementwise"),
+    "remat_g32": lambda: run_variant("remat_g32", 256, ghost=32,
+                                     remat=True),
+    "remat_g32_b512": lambda: run_variant("remat_g32_b512", 512, ghost=32,
+                                          remat=True),
+    "remat_full_bn": lambda: run_variant("remat_full_bn", 256, ghost=0,
+                                         remat=True),
     "cost": lambda: cost_analysis(),
+    "cost_remat": lambda: cost_analysis(ghost=32, remat=True),
+    "opt_vmem": lambda: run_variant_opts(
+        "opt_vmem", 256, {"xla_tpu_scoped_vmem_limit_kib": "65536"},
+        ghost=32),
+    "opt_lhs": lambda: run_variant_opts(
+        "opt_lhs", 256, {"xla_tpu_enable_latency_hiding_scheduler": "true"},
+        ghost=32),
+    "opt_downcast": lambda: run_variant_opts(
+        "opt_downcast", 256,
+        {"xla_tpu_allow_conv_input_fusion_with_downcast_convert": "true"},
+        ghost=32),
+    "opt_fcm": lambda: run_variant_opts(
+        "opt_fcm", 256,
+        {"xla_tpu_enable_experimental_fusion_cost_model": "true"}, ghost=32),
+    "hlo": lambda: hlo_dump(ghost=32),
+    "multistep": lambda: multistep(ghost=32),
 }
 
 

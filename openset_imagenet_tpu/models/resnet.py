@@ -29,6 +29,7 @@ from typing import Any, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
 ModuleDef = Any
 
@@ -96,17 +97,19 @@ class BasicBlock(nn.Module):
         conv = partial(nn.Conv, use_bias=False, dtype=self.dtype,
                        kernel_init=conv_kernel_init)
         residual = x
-        y = conv(self.filters, (3, 3),
-                 strides=(self.strides, self.strides))(x)
+        y = checkpoint_name(
+            conv(self.filters, (3, 3),
+                 strides=(self.strides, self.strides))(x), "conv_out")
         y = self.norm(name="bn1")(y)
         y = nn.relu(y)
-        y = conv(self.filters, (3, 3))(y)
+        y = checkpoint_name(conv(self.filters, (3, 3))(y), "conv_out")
         y = self.norm(scale_init=nn.initializers.zeros, name="bn2")(y)
 
         if residual.shape != y.shape:
-            residual = conv(self.filters, (1, 1),
-                            strides=(self.strides, self.strides),
-                            name="downsample_conv")(residual)
+            residual = checkpoint_name(
+                conv(self.filters, (1, 1),
+                     strides=(self.strides, self.strides),
+                     name="downsample_conv")(residual), "conv_out")
             residual = self.norm(name="downsample_bn")(residual)
 
         return nn.relu(y + residual)
@@ -124,20 +127,27 @@ class Bottleneck(nn.Module):
     def __call__(self, x):
         conv = partial(nn.Conv, use_bias=False, dtype=self.dtype,
                        kernel_init=conv_kernel_init)
+        # checkpoint_name marks conv outputs as the block's only saved
+        # residuals under the "elementwise" remat policy (ResNet50.remat):
+        # backward recomputes BN/relu chains from them instead of re-reading
+        # their outputs from HBM.  A no-op outside jax.checkpoint.
         residual = x
-        y = conv(self.filters, (1, 1))(x)
+        y = checkpoint_name(conv(self.filters, (1, 1))(x), "conv_out")
         y = self.norm(name="bn1")(y)
         y = nn.relu(y)
-        y = conv(self.filters, (3, 3), strides=(self.strides, self.strides))(y)
+        y = checkpoint_name(
+            conv(self.filters, (3, 3),
+                 strides=(self.strides, self.strides))(y), "conv_out")
         y = self.norm(name="bn2")(y)
         y = nn.relu(y)
-        y = conv(self.filters * 4, (1, 1))(y)
+        y = checkpoint_name(conv(self.filters * 4, (1, 1))(y), "conv_out")
         y = self.norm(scale_init=nn.initializers.zeros, name="bn3")(y)
 
         if residual.shape != y.shape:
-            residual = conv(self.filters * 4, (1, 1),
-                            strides=(self.strides, self.strides),
-                            name="downsample_conv")(residual)
+            residual = checkpoint_name(
+                conv(self.filters * 4, (1, 1),
+                     strides=(self.strides, self.strides),
+                     name="downsample_conv")(residual), "conv_out")
             residual = self.norm(name="downsample_bn")(residual)
 
         return nn.relu(y + residual)
@@ -164,6 +174,19 @@ class ResNet50(nn.Module):
     bn_stats_rows: int = 0
     # Space-to-depth stem: identical arithmetic, MXU-friendlier layout.
     space_to_depth: bool = False
+    # Rematerialization of residual blocks.  The train step is HBM-
+    # bandwidth-bound on TPU (measured ~833 GB/s sustained, the v5e speed
+    # of light), so what backward re-reads from HBM is the cost model:
+    #   False / "none":  store every intermediate (XLA default).
+    #   "elementwise":   save ONLY conv outputs; backward recomputes the
+    #                    BN/relu chains from them (the cuDNN-style training
+    #                    layout) — cheap VPU FLOPs for less traffic.
+    #   True / "blocks": save only block boundaries; backward re-runs the
+    #                    whole block forward (big memory saving, but the
+    #                    re-run convs re-write their outputs through HBM —
+    #                    measured slower on v5e; use for memory, not speed).
+    # All modes are arithmetically identical (tests lock this).
+    remat: Any = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True
@@ -192,6 +215,17 @@ class ResNet50(nn.Module):
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
         block_cls = self.block if self.block is not None else Bottleneck
+        mode = {False: "none", None: "none", True: "blocks"}.get(
+            self.remat, self.remat)
+        if mode == "blocks":
+            block_cls = nn.remat(block_cls)
+        elif mode == "elementwise":
+            block_cls = nn.remat(
+                block_cls,
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    "conv_out"))
+        elif mode != "none":
+            raise ValueError(f"unknown remat mode {self.remat!r}")
         for i, block_count in enumerate(self.stage_sizes):
             for j in range(block_count):
                 strides = 2 if i > 0 and j == 0 else 1
@@ -227,7 +261,8 @@ _VARIANTS = {
 def build_resnet(variant: str = "resnet50", *, fc_layer_dim: int,
                  out_features: int, logit_bias: bool = False,
                  dtype: Any = jnp.bfloat16, bn_stats_rows: int = 0,
-                 space_to_depth: bool = False) -> ResNet50:
+                 space_to_depth: bool = False,
+                 remat: Any = False) -> ResNet50:
     """Construct a two-head ResNet by variant name."""
     if variant not in _VARIANTS:
         raise ValueError(
@@ -238,4 +273,4 @@ def build_resnet(variant: str = "resnet50", *, fc_layer_dim: int,
                     stage_sizes=spec["stage_sizes"], block=spec["block"],
                     width=spec.get("width", 64),
                     bn_stats_rows=bn_stats_rows,
-                    space_to_depth=space_to_depth)
+                    space_to_depth=space_to_depth, remat=remat)

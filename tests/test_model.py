@@ -85,3 +85,43 @@ def test_compute_dtype(dtype):
     variables, x = _init(model, (1, 32, 32, 3))
     logits, feats = model.apply(variables, x, train=False)
     assert logits.dtype == jnp.float32  # heads always return f32
+
+
+def test_remat_blocks_identical_step():
+    """nn.remat'd blocks: same loss, gradients, and batch-stats updates.
+
+    Remat trades HBM activation traffic for recompute FLOPs (the TPU train
+    step is bandwidth-bound); arithmetic must be unchanged.
+    """
+    import numpy as np
+    from openset_imagenet_tpu import train as engine
+    from openset_imagenet_tpu.config import NameSpace
+    from openset_imagenet_tpu.models.resnet import build_resnet
+
+    rng = np.random.default_rng(0)
+    images = rng.integers(0, 256, (8, 32, 32, 3), np.uint8)
+    labels = np.array([0, 1, 2, 3, -1, -1, 2, 0], np.int32)
+    mask = np.ones(8, np.float32)
+
+    def run(remat):
+        model = build_resnet("tiny", fc_layer_dim=4, out_features=4,
+                             dtype=jnp.float32, space_to_depth=True,
+                             bn_stats_rows=4, remat=remat)
+        tx = engine.build_optimizer(
+            NameSpace({"type": "sgd", "lr": 0.1, "decay": 0, "gamma": 1}), 1)
+        state = engine.create_state(model, jax.random.PRNGKey(0), tx,
+                                    image_size=32)
+        step = engine.make_train_step(engine.make_loss_fn("entropic"))
+        new_state, m = step(state, images, labels, mask)
+        return new_state, float(m["loss_sum"])
+
+    plain, loss_p = run(False)
+    remat, loss_r = run(True)
+    assert loss_p == pytest.approx(loss_r, rel=1e-6)
+    for a, b in zip(jax.tree.leaves(jax.tree.map(np.asarray, plain.params)),
+                    jax.tree.leaves(jax.tree.map(np.asarray, remat.params))):
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
+    for a, b in zip(
+            jax.tree.leaves(jax.tree.map(np.asarray, plain.batch_stats)),
+            jax.tree.leaves(jax.tree.map(np.asarray, remat.batch_stats))):
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
