@@ -17,7 +17,7 @@ import numpy as np
 
 
 def build(batch: int, *, s2d=True, ghost=64, steps_mode="gspmd",
-          n_classes=1000, fused_loss=False, remat=False):
+          n_classes=1000, fused_loss=False, remat=False, dot_1x1=False):
     from openset_imagenet_tpu import train as engine
     from openset_imagenet_tpu.config import NameSpace
     from openset_imagenet_tpu.models.resnet import build_resnet
@@ -25,7 +25,7 @@ def build(batch: int, *, s2d=True, ghost=64, steps_mode="gspmd",
     model = build_resnet("resnet50", fc_layer_dim=n_classes,
                          out_features=n_classes, logit_bias=False,
                          space_to_depth=s2d, bn_stats_rows=ghost,
-                         remat=remat)
+                         remat=remat, dot_1x1=dot_1x1)
     tx = engine.build_optimizer(
         NameSpace({"type": "adam", "lr": 1e-3, "decay": 0, "gamma": 1}), 1)
     state = engine.create_state(model, jax.random.PRNGKey(0), tx)
@@ -163,6 +163,10 @@ VARIANTS = {
     "remat_ew": lambda: run_variant("remat_ew", 256, ghost=32,
                                     remat="elementwise"),
     "cost_ew": lambda: cost_analysis(ghost=32, remat="elementwise"),
+    "dot1x1": lambda: run_variant("dot1x1", 256, ghost=32, dot_1x1=True),
+    "dot1x1_g16": lambda: run_variant("dot1x1_g16", 256, ghost=16,
+                                      dot_1x1=True),
+    "cost_dot": lambda: cost_analysis(ghost=32, dot_1x1=True),
     "remat_g32": lambda: run_variant("remat_g32", 256, ghost=32,
                                      remat=True),
     "remat_g32_b512": lambda: run_variant("remat_g32_b512", 512, ghost=32,

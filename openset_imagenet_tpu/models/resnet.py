@@ -83,6 +83,33 @@ class SpaceToDepthStem(nn.Module):
             preferred_element_type=self.dtype)
 
 
+class Conv1x1(nn.Module):
+    """1x1 convolution lowered as an explicit MXU dot.
+
+    A 1x1 (optionally strided) convolution is exactly a per-pixel matmul;
+    emitting it as ``dot_general`` (stride via spatial subsampling first)
+    sidesteps XLA's convolution lowering for the 36 pointwise convs of a
+    ResNet-50 bottleneck stack.  The parameter keeps ``nn.Conv``'s
+    ``kernel: [1, 1, in, out]`` shape and the module is given the same
+    auto-name slot, so checkpoints are interchangeable with the conv form.
+    """
+
+    features: int
+    strides: int = 1
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", conv_kernel_init,
+                            (1, 1, x.shape[-1], self.features), jnp.float32)
+        if self.strides != 1:
+            x = x[:, ::self.strides, ::self.strides, :]
+        return jax.lax.dot_general(
+            x.astype(self.dtype), kernel[0, 0].astype(self.dtype),
+            (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=self.dtype)
+
+
 class BasicBlock(nn.Module):
     """ResNet basic block (3x3 -> 3x3, expansion 1) for the 18/34 variants."""
 
@@ -122,32 +149,53 @@ class Bottleneck(nn.Module):
     strides: int = 1
     norm: ModuleDef = nn.BatchNorm
     dtype: Any = jnp.bfloat16
+    dot_1x1: bool = False
 
     @nn.compact
     def __call__(self, x):
         conv = partial(nn.Conv, use_bias=False, dtype=self.dtype,
                        kernel_init=conv_kernel_init)
+        if self.dot_1x1:
+            # Same auto-name slots (Conv_0/Conv_2) as the nn.Conv form so
+            # the parameter tree is unchanged.
+            pw = partial(Conv1x1, dtype=self.dtype)
+            pw0 = partial(pw, name="Conv_0")
+            pw2 = partial(pw, name="Conv_2")
+        else:
+            pw = pw0 = pw2 = conv
+
+        def pointwise(make, features, strides=1):
+            if make is conv:
+                return conv(features, (1, 1), strides=(strides, strides))
+            return make(features, strides=strides)
+
         # checkpoint_name marks conv outputs as the block's only saved
         # residuals under the "elementwise" remat policy (ResNet50.remat):
         # backward recomputes BN/relu chains from them instead of re-reading
         # their outputs from HBM.  A no-op outside jax.checkpoint.
         residual = x
-        y = checkpoint_name(conv(self.filters, (1, 1))(x), "conv_out")
+        y = checkpoint_name(pointwise(pw0, self.filters)(x), "conv_out")
         y = self.norm(name="bn1")(y)
         y = nn.relu(y)
         y = checkpoint_name(
             conv(self.filters, (3, 3),
-                 strides=(self.strides, self.strides))(y), "conv_out")
+                 strides=(self.strides, self.strides),
+                 # keep the auto-name slot stable across both 1x1 forms
+                 name="Conv_1" if self.dot_1x1 else None)(y), "conv_out")
         y = self.norm(name="bn2")(y)
         y = nn.relu(y)
-        y = checkpoint_name(conv(self.filters * 4, (1, 1))(y), "conv_out")
+        y = checkpoint_name(pointwise(pw2, self.filters * 4)(y), "conv_out")
         y = self.norm(scale_init=nn.initializers.zeros, name="bn3")(y)
 
         if residual.shape != y.shape:
-            residual = checkpoint_name(
-                conv(self.filters * 4, (1, 1),
-                     strides=(self.strides, self.strides),
-                     name="downsample_conv")(residual), "conv_out")
+            if self.dot_1x1:
+                ds = Conv1x1(self.filters * 4, strides=self.strides,
+                             dtype=self.dtype, name="downsample_conv")
+            else:
+                ds = conv(self.filters * 4, (1, 1),
+                          strides=(self.strides, self.strides),
+                          name="downsample_conv")
+            residual = checkpoint_name(ds(residual), "conv_out")
             residual = self.norm(name="downsample_bn")(residual)
 
         return nn.relu(y + residual)
@@ -187,6 +235,8 @@ class ResNet50(nn.Module):
     #                    measured slower on v5e; use for memory, not speed).
     # All modes are arithmetically identical (tests lock this).
     remat: Any = False
+    # Lower 1x1 convolutions as explicit MXU dots (see Conv1x1).
+    dot_1x1: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True
@@ -214,7 +264,11 @@ class ResNet50(nn.Module):
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
-        block_cls = self.block if self.block is not None else Bottleneck
+        base_block = self.block if self.block is not None else Bottleneck
+        block_cls = base_block
+        block_kwargs = {}
+        if self.dot_1x1 and base_block is Bottleneck:
+            block_kwargs["dot_1x1"] = True
         mode = {False: "none", None: "none", True: "blocks"}.get(
             self.remat, self.remat)
         if mode == "blocks":
@@ -230,7 +284,7 @@ class ResNet50(nn.Module):
             for j in range(block_count):
                 strides = 2 if i > 0 and j == 0 else 1
                 x = block_cls(filters=self.width * 2 ** i, strides=strides,
-                              norm=norm, dtype=self.dtype,
+                              norm=norm, dtype=self.dtype, **block_kwargs,
                               name=f"stage{i + 1}_block{j + 1}")(x)
 
         # Global average pool -> deep features head -> logits head.
@@ -262,7 +316,7 @@ def build_resnet(variant: str = "resnet50", *, fc_layer_dim: int,
                  out_features: int, logit_bias: bool = False,
                  dtype: Any = jnp.bfloat16, bn_stats_rows: int = 0,
                  space_to_depth: bool = False,
-                 remat: Any = False) -> ResNet50:
+                 remat: Any = False, dot_1x1: bool = False) -> ResNet50:
     """Construct a two-head ResNet by variant name."""
     if variant not in _VARIANTS:
         raise ValueError(
@@ -273,4 +327,5 @@ def build_resnet(variant: str = "resnet50", *, fc_layer_dim: int,
                     stage_sizes=spec["stage_sizes"], block=spec["block"],
                     width=spec.get("width", 64),
                     bn_stats_rows=bn_stats_rows,
-                    space_to_depth=space_to_depth, remat=remat)
+                    space_to_depth=space_to_depth, remat=remat,
+                    dot_1x1=dot_1x1)

@@ -125,3 +125,47 @@ def test_remat_blocks_identical_step():
             jax.tree.leaves(jax.tree.map(np.asarray, plain.batch_stats)),
             jax.tree.leaves(jax.tree.map(np.asarray, remat.batch_stats))):
         np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
+
+
+def test_dot_1x1_identical_to_conv_form():
+    """Conv1x1 (explicit MXU dot): same param tree, outputs, and gradients
+    as the nn.Conv 1x1 form — checkpoint-interchangeable."""
+    import numpy as np
+    from openset_imagenet_tpu.models.resnet import Bottleneck
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(4, 16, 16, 32)).astype(np.float32))
+
+    from functools import partial
+    from flax import linen as nn
+
+    norm = partial(nn.BatchNorm, use_running_average=False, momentum=0.9,
+                   epsilon=1e-5, dtype=jnp.float32)
+
+    def build(dot):
+        block = Bottleneck(filters=16, strides=2, dtype=jnp.float32,
+                           norm=norm, dot_1x1=dot)
+        vs = block.init(jax.random.PRNGKey(7), x)
+        return block, vs
+
+    conv_block, conv_vs = build(False)
+    dot_block, dot_vs = build(True)
+    # Identical parameter trees (names and shapes).
+    assert jax.tree.map(jnp.shape, conv_vs["params"]) == \
+        jax.tree.map(jnp.shape, dot_vs["params"])
+
+    def f(block, vs):
+        def loss(params):
+            y, _ = block.apply(
+                {"params": params, "batch_stats": vs["batch_stats"]},
+                x, mutable=["batch_stats"])
+            return jnp.sum(y ** 2)
+        val, grads = jax.value_and_grad(loss)(vs["params"])
+        return val, grads
+
+    v1, g1 = f(conv_block, conv_vs)
+    v2, g2 = f(dot_block, conv_vs)  # same init weights through both paths
+    assert float(v1) == pytest.approx(float(v2), rel=1e-5)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
