@@ -1,10 +1,16 @@
-"""Summarise a jax.profiler trace: device time by op/fusion group.
+"""Summarise a jax.profiler trace: device time by op, optionally joined
+with the step's optimized HLO for exact per-category attribution.
 
-Reads the ``*.trace.json.gz`` perfetto export inside a profile directory,
-keeps events on device (TPU/accelerator) lanes, and aggregates durations by
-a normalized op-name key so repeated fusions group together.
+Usage:
+  python tools/parse_trace.py <trace_dir> [top_n]
+  python tools/parse_trace.py <trace_dir> [top_n] --hlo <hlo_dump.txt>
 
-Usage: python tools/parse_trace.py /tmp/osi_trace [top_n]
+The trace is the ``*.trace.json.gz`` perfetto export inside a profile
+directory (``jax.profiler.trace``); the HLO dump comes from
+``bench_variants.py hlo`` (``compiled.as_text()``).  With ``--hlo``, each
+timed fusion instance is classified by the CONTENT of its fused
+computation (convolution / dot / reduce / elementwise ...), which is how
+the v5e step was attributed in BENCH.md.
 """
 
 import gzip
@@ -22,71 +28,101 @@ def find_trace(root: str) -> Path:
     return files[-1]
 
 
-def normalize(name: str) -> str:
-    """Strip fusion indexes so repeated instances aggregate."""
-    name = re.sub(r"\.\d+", "", name)
-    name = re.sub(r"__\d+", "", name)
-    return name
-
-
-def classify(name: str) -> str:
-    n = name.lower()
-    if "convolution" in n or "conv" in n:
-        return "conv"
-    if "dot" in n or "matmul" in n:
-        return "matmul"
-    if "reduce" in n:
-        return "reduce"
-    if "copy" in n or "transpose" in n or "bitcast" in n:
-        return "copy/transpose"
-    if "fusion" in n:
-        return "fusion(other)"
-    if "select" in n or "scatter" in n:
-        return "select/scatter"
-    return "other"
-
-
-def main(root: str, top_n: int = 30):
-    path = find_trace(root)
+def load_device_ops(path: Path):
+    """{instance_name: total_us} from the XLA Ops device lane + step count."""
     with gzip.open(path, "rt") as f:
-        data = json.load(f)
-    events = data["traceEvents"] if isinstance(data, dict) else data
-
-    # Identify device lanes: process names containing TPU/device hints.
-    pid_names = {}
+        events = json.load(f)["traceEvents"]
+    lanes = {}
+    device_pid = None
     for e in events:
         if e.get("ph") == "M" and e.get("name") == "process_name":
-            pid_names[e["pid"]] = e["args"].get("name", "")
-    device_pids = {pid for pid, n in pid_names.items()
-                   if any(k in n.lower() for k in ("tpu", "device", "xla"))
-                   and "host" not in n.lower()}
-    if not device_pids:
-        print("process lanes:", pid_names)
-        raise SystemExit("no device lanes found")
-
-    by_op = defaultdict(float)
-    by_class = defaultdict(float)
-    total = 0.0
+            if "TPU" in e["args"].get("name", "") or \
+                    "GPU" in e["args"].get("name", ""):
+                device_pid = e["pid"]
+        if e.get("ph") == "M" and e.get("name") == "thread_name":
+            lanes[(e["pid"], e["tid"])] = e["args"].get("name", "")
+    ops_tid = next((tid for (pid, tid), n in lanes.items()
+                    if pid == device_pid and n == "XLA Ops"), None)
+    steps_tid = next((tid for (pid, tid), n in lanes.items()
+                      if pid == device_pid and n == "Steps"), None)
+    dur = defaultdict(float)
+    n_steps = 0
     for e in events:
-        if e.get("ph") != "X" or e.get("pid") not in device_pids:
+        if e.get("ph") != "X" or e.get("pid") != device_pid:
             continue
-        dur = float(e.get("dur", 0.0))  # microseconds
-        name = normalize(e.get("name", "?"))
-        by_op[name] += dur
-        by_class[classify(name)] += dur
-        total += dur
+        if e.get("tid") == ops_tid:
+            dur[e["name"]] += float(e.get("dur", 0.0))
+        elif e.get("tid") == steps_tid:
+            n_steps += 1
+    return dur, max(n_steps, 1)
 
-    print(f"trace: {path}")
-    print(f"total device time: {total / 1e3:.2f} ms "
-          f"(across traced steps)\n")
-    print("== by class ==")
-    for k, v in sorted(by_class.items(), key=lambda kv: -kv[1]):
-        print(f"{v / 1e3:9.2f} ms  {100 * v / total:5.1f}%  {k}")
-    print(f"\n== top {top_n} ops ==")
-    for k, v in sorted(by_op.items(), key=lambda kv: -kv[1])[:int(top_n)]:
-        print(f"{v / 1e3:9.2f} ms  {100 * v / total:5.1f}%  {k[:110]}")
+
+def parse_hlo(path: str):
+    """(instruction -> called computation, computation -> body text)."""
+    hlo = open(path).read()
+    inst_to_comp = {}
+    for m in re.finditer(
+            r"%([\w.\-]+) = [^=\n]*fusion\([^\n]*calls=%?([\w.\-]+)", hlo):
+        inst_to_comp[m.group(1)] = m.group(2)
+    bodies = {}
+    for p in re.split(r"\n(?=%?[\w.\-]+ \([^)]*\) -> )", hlo):
+        m = re.match(r"%?([\w.\-]+) \(", p)
+        if m:
+            bodies[m.group(1)] = p
+    return hlo, inst_to_comp, bodies
+
+
+def classify_body(body: str) -> str:
+    if "convolution" in body:
+        return "conv"
+    if "dot(" in body:
+        return "matmul"
+    if "select-and-scatter" in body:
+        return "maxpool_bwd"
+    if "reduce-window" in body:
+        return "pool"
+    if "reduce(" in body:
+        return "reduce(BN stats/bwd)"
+    return "elementwise/other"
+
+
+def main(argv):
+    root = argv[0] if argv else "/tmp/osi_trace"
+    top_n = int(argv[1]) if len(argv) > 1 and argv[1].isdigit() else 30
+    hlo_path = None
+    if "--hlo" in argv:
+        hlo_path = argv[argv.index("--hlo") + 1]
+
+    trace = find_trace(root)
+    dur, n_steps = load_device_ops(trace)
+    total = sum(dur.values())
+    print(f"trace: {trace}")
+    print(f"device op time: {total / 1e3:.2f} ms over {n_steps} steps "
+          f"-> {total / n_steps / 1e3:.2f} ms/step\n")
+
+    if hlo_path:
+        hlo, inst_to_comp, bodies = parse_hlo(hlo_path)
+        cat = defaultdict(float)
+        for name, d in dur.items():
+            comp = inst_to_comp.get(name)
+            if comp and comp in bodies:
+                cat[classify_body(bodies[comp])] += d
+            elif name.startswith(("copy", "slice", "bitcast", "reshape")):
+                cat["copy/slice"] += d
+            else:
+                m = re.search(rf"%{re.escape(name)} = [^\n]*", hlo)
+                cat[classify_body(m.group(0)) if m else "unmatched"] += d
+        print("== by HLO category ==")
+        for k, v in sorted(cat.items(), key=lambda kv: -kv[1]):
+            print(f"{v / n_steps / 1e3:8.2f} ms/step  "
+                  f"{100 * v / total:5.1f}%  {k}")
+        print()
+
+    print(f"== top {top_n} instances ==")
+    for k, v in sorted(dur.items(), key=lambda kv: -kv[1])[:top_n]:
+        print(f"{v / n_steps / 1e3:8.3f} ms/step  {100 * v / total:5.1f}%  "
+              f"{k[:90]}")
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "/tmp/osi_trace",
-         *(sys.argv[2:]))
+    main(sys.argv[1:])
