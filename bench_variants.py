@@ -17,7 +17,8 @@ import numpy as np
 
 
 def build(batch: int, *, s2d=True, ghost=64, steps_mode="gspmd",
-          n_classes=1000, fused_loss=False, remat=False, dot_1x1=False):
+          n_classes=1000, fused_loss=False, remat=False, dot_1x1=False,
+          fused_blocks=False):
     from openset_imagenet_tpu import train as engine
     from openset_imagenet_tpu.config import NameSpace
     from openset_imagenet_tpu.models.resnet import build_resnet
@@ -25,7 +26,8 @@ def build(batch: int, *, s2d=True, ghost=64, steps_mode="gspmd",
     model = build_resnet("resnet50", fc_layer_dim=n_classes,
                          out_features=n_classes, logit_bias=False,
                          space_to_depth=s2d, bn_stats_rows=ghost,
-                         remat=remat, dot_1x1=dot_1x1)
+                         remat=remat, dot_1x1=dot_1x1,
+                         fused_blocks=fused_blocks)
     tx = engine.build_optimizer(
         NameSpace({"type": "adam", "lr": 1e-3, "decay": 0, "gamma": 1}), 1)
     state = engine.create_state(model, jax.random.PRNGKey(0), tx)
@@ -190,7 +192,32 @@ VARIANTS = {
         {"xla_tpu_enable_experimental_fusion_cost_model": "true"}, ghost=32),
     "hlo": lambda: hlo_dump(ghost=32),
     "multistep": lambda: multistep(ghost=32),
+    # Fused-backward bottleneck blocks (ops/fused_block.py).
+    "fusedblk": lambda: run_variant("fusedblk", 256, ghost=64,
+                                    fused_blocks=True),
+    "fusedblk_g32": lambda: run_variant("fusedblk_g32", 256, ghost=32,
+                                        fused_blocks=True),
+    "fusedblk_jnp": lambda: run_variant_env(
+        "fusedblk_jnp", 256, {"OSI_FUSED_BLOCK_BWD": "jnp"}, ghost=64,
+        fused_blocks=True),
+    "hlo_fusedblk": lambda: hlo_dump("/tmp/osi_step_hlo_fusedblk.txt",
+                                     ghost=64, fused_blocks=True),
+    "cost_fusedblk": lambda: cost_analysis(ghost=64, fused_blocks=True),
 }
+
+
+def run_variant_env(name, batch, env, **kw):
+    import os
+    old = {k: os.environ.get(k) for k in env}
+    os.environ.update(env)
+    try:
+        run_variant(name, batch, **kw)
+    finally:
+        for k, v in old.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
 
 
 def main(argv):

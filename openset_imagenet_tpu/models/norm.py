@@ -31,6 +31,56 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
+class BNAffine(nn.Module):
+    """Parameter/statistics holder for externally computed BN statistics.
+
+    Used by the fused-backward bottleneck (``ops/fused_block.py``), where
+    the ghost statistics are computed by the block itself (on the leading
+    rows' pre-pass) and normalization is folded into per-channel
+    ``(mul, add)`` vectors.  The variable layout (``scale``/``bias`` params,
+    ``mean``/``var`` batch stats) matches ``SubsetBatchNorm`` and
+    ``nn.BatchNorm`` exactly, so checkpoints are interchangeable between
+    the fused and unfused block implementations.
+
+    ``__call__(mean, var)`` (train) updates the running statistics and
+    returns ``(mul, add)`` with ``mul = scale/sqrt(var+eps)`` and
+    ``add = bias - mean*mul`` — the same fold as ``SubsetBatchNorm``
+    lines 80-83.  ``__call__()`` (eval) folds the running statistics.
+    """
+
+    features: int
+    use_running_average: bool = False
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    scale_init: Any = nn.initializers.ones
+    bias_init: Any = nn.initializers.zeros
+
+    @nn.compact
+    def __call__(self, mean=None, var=None):
+        scale = self.param("scale", self.scale_init, (self.features,),
+                           jnp.float32)
+        bias = self.param("bias", self.bias_init, (self.features,),
+                          jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda s: jnp.zeros(s, jnp.float32),
+                                (self.features,))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda s: jnp.ones(s, jnp.float32),
+                               (self.features,))
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        elif not self.is_initializing():
+            ra_mean.value = (self.momentum * ra_mean.value +
+                             (1.0 - self.momentum) * mean)
+            ra_var.value = (self.momentum * ra_var.value +
+                            (1.0 - self.momentum) * var)
+        inv = jnp.reciprocal(jnp.sqrt(var + self.epsilon))
+        mul = inv * scale.astype(jnp.float32)
+        add = bias.astype(jnp.float32) - mean * inv * scale.astype(
+            jnp.float32)
+        return mul, add
+
+
 class SubsetBatchNorm(nn.Module):
     """BatchNorm whose batch statistics come from the leading rows only."""
 

@@ -124,12 +124,18 @@ class BasicBlock(nn.Module):
         conv = partial(nn.Conv, use_bias=False, dtype=self.dtype,
                        kernel_init=conv_kernel_init)
         residual = x
+        # Explicit (1,1) padding: torch's Conv2d(3, stride, padding=1).
+        # Flax's default "SAME" pads (0,1) at stride 2 — a subtle
+        # misalignment vs the reference torchvision blocks.
         y = checkpoint_name(
             conv(self.filters, (3, 3),
-                 strides=(self.strides, self.strides))(x), "conv_out")
+                 strides=(self.strides, self.strides),
+                 padding=[(1, 1), (1, 1)])(x), "conv_out")
         y = self.norm(name="bn1")(y)
         y = nn.relu(y)
-        y = checkpoint_name(conv(self.filters, (3, 3))(y), "conv_out")
+        y = checkpoint_name(
+            conv(self.filters, (3, 3), padding=[(1, 1), (1, 1)])(y),
+            "conv_out")
         y = self.norm(scale_init=nn.initializers.zeros, name="bn2")(y)
 
         if residual.shape != y.shape:
@@ -142,6 +148,23 @@ class BasicBlock(nn.Module):
         return nn.relu(y + residual)
 
 
+class _ConvKernel(nn.Module):
+    """Kernel-parameter holder occupying a ``nn.Conv``-compatible name slot.
+
+    Declares the same ``kernel`` parameter (same shape/init/dtype) that
+    ``nn.Conv`` would, but returns the array itself so the fused-backward
+    block can route it through its custom-VJP op.  Checkpoint trees stay
+    interchangeable with the unfused block.
+    """
+
+    shape: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", conv_kernel_init, self.shape,
+                          jnp.float32)
+
+
 class Bottleneck(nn.Module):
     """ResNet v1.5 bottleneck block: 1x1 -> 3x3(stride) -> 1x1, expansion 4."""
 
@@ -150,9 +173,78 @@ class Bottleneck(nn.Module):
     norm: ModuleDef = nn.BatchNorm
     dtype: Any = jnp.bfloat16
     dot_1x1: bool = False
+    # Fused-backward mode (ops/fused_block.py): one custom-VJP per block,
+    # Pallas kernels for the pointwise-conv backward regions.  Requires
+    # ghost BN statistics (stats_rows > 0) when training.
+    fused: bool = False
+    train: bool = True
+    stats_rows: int = 0
+    bn_momentum: float = 0.9
+    bn_epsilon: float = 1e-5
+
+    def _fused_call(self, x):
+        from ..ops.fused_block import (_affine, _conv3x3, _pw,
+                                       bottleneck_fused, ghost_stats)
+        from .norm import BNAffine
+
+        dt = self.dtype
+        cin = x.shape[-1]
+        f = self.filters
+        s = self.strides
+        need_ds = (s != 1 or cin != 4 * f)
+        x = x.astype(dt)
+
+        w1 = _ConvKernel((1, 1, cin, f), name="Conv_0")()[0, 0]
+        w2 = _ConvKernel((3, 3, f, f), name="Conv_1")()
+        w3 = _ConvKernel((1, 1, f, 4 * f), name="Conv_2")()[0, 0]
+        bn = partial(BNAffine, use_running_average=not self.train,
+                     momentum=self.bn_momentum, epsilon=self.bn_epsilon)
+        bn1 = bn(f, name="bn1")
+        bn2 = bn(f, name="bn2")
+        bn3 = bn(4 * f, scale_init=nn.initializers.zeros, name="bn3")
+        wd = muld = addd = None
+        if need_ds:
+            wd = _ConvKernel((1, 1, cin, 4 * f), name="downsample_conv")(
+            )[0, 0]
+            bnd = bn(4 * f, name="downsample_bn")
+
+        if self.train:
+            if self.stats_rows <= 0:
+                raise ValueError(
+                    "fused bottleneck training requires ghost BN "
+                    "(model.bn_stats_rows > 0); full-batch statistics "
+                    "would double the forward pass")
+            # Ghost pre-pass: the block forward on the leading statistics
+            # rows only, folding each BN as soon as its stats exist.  Rows
+            # are batch-independent, so these equal the full forward's
+            # leading-row slices (SubsetBatchNorm semantics).
+            g = self.stats_rows
+            xs = x[:g]
+            z1s = _pw(xs, w1.astype(dt))
+            mul1, add1 = bn1(*ghost_stats(z1s))
+            xa1s = jnp.maximum(_affine(z1s, mul1, add1), 0)
+            z2s = _conv3x3(xa1s, w2.astype(dt), s)
+            mul2, add2 = bn2(*ghost_stats(z2s))
+            xa2s = jnp.maximum(_affine(z2s, mul2, add2), 0)
+            z3s = _pw(xa2s, w3.astype(dt))
+            mul3, add3 = bn3(*ghost_stats(z3s))
+            if need_ds:
+                zds = _pw(xs[:, ::s, ::s, :], wd.astype(dt))
+                muld, addd = bnd(*ghost_stats(zds))
+        else:
+            mul1, add1 = bn1()
+            mul2, add2 = bn2()
+            mul3, add3 = bn3()
+            if need_ds:
+                muld, addd = bnd()
+
+        return bottleneck_fused(x, w1, w2, w3, mul1, add1, mul2, add2,
+                                mul3, add3, wd, muld, addd, stride=s)
 
     @nn.compact
     def __call__(self, x):
+        if self.fused:
+            return self._fused_call(x)
         conv = partial(nn.Conv, use_bias=False, dtype=self.dtype,
                        kernel_init=conv_kernel_init)
         if self.dot_1x1:
@@ -180,6 +272,9 @@ class Bottleneck(nn.Module):
         y = checkpoint_name(
             conv(self.filters, (3, 3),
                  strides=(self.strides, self.strides),
+                 # torch's padding=1; flax "SAME" would pad (0,1) at
+                 # stride 2 (reference parity, torchvision Bottleneck)
+                 padding=[(1, 1), (1, 1)],
                  # keep the auto-name slot stable across both 1x1 forms
                  name="Conv_1" if self.dot_1x1 else None)(y), "conv_out")
         y = self.norm(name="bn2")(y)
@@ -237,6 +332,10 @@ class ResNet50(nn.Module):
     remat: Any = False
     # Lower 1x1 convolutions as explicit MXU dots (see Conv1x1).
     dot_1x1: bool = False
+    # Fused-backward bottleneck blocks (ops/fused_block.py): block-level
+    # custom VJP with Pallas kernels for the pointwise backward regions.
+    # Requires bn_stats_rows > 0 for training; Bottleneck variants only.
+    fused_blocks: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True
@@ -269,6 +368,12 @@ class ResNet50(nn.Module):
         block_kwargs = {}
         if self.dot_1x1 and base_block is Bottleneck:
             block_kwargs["dot_1x1"] = True
+        if self.fused_blocks:
+            if base_block is not Bottleneck:
+                raise ValueError("fused_blocks requires Bottleneck variants"
+                                 " (resnet50/101/152)")
+            block_kwargs.update(fused=True, train=train,
+                                stats_rows=self.bn_stats_rows)
         mode = {False: "none", None: "none", True: "blocks"}.get(
             self.remat, self.remat)
         if mode == "blocks":
@@ -316,7 +421,8 @@ def build_resnet(variant: str = "resnet50", *, fc_layer_dim: int,
                  out_features: int, logit_bias: bool = False,
                  dtype: Any = jnp.bfloat16, bn_stats_rows: int = 0,
                  space_to_depth: bool = False,
-                 remat: Any = False, dot_1x1: bool = False) -> ResNet50:
+                 remat: Any = False, dot_1x1: bool = False,
+                 fused_blocks: bool = False) -> ResNet50:
     """Construct a two-head ResNet by variant name."""
     if variant not in _VARIANTS:
         raise ValueError(
@@ -328,4 +434,4 @@ def build_resnet(variant: str = "resnet50", *, fc_layer_dim: int,
                     width=spec.get("width", 64),
                     bn_stats_rows=bn_stats_rows,
                     space_to_depth=space_to_depth, remat=remat,
-                    dot_1x1=dot_1x1)
+                    dot_1x1=dot_1x1, fused_blocks=fused_blocks)

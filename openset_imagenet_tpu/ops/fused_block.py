@@ -1,0 +1,475 @@
+"""Fused-backward bottleneck block: block-level custom VJP + Pallas kernels.
+
+Why this exists (measured, not assumed): the ResNet-50 train step on TPU v5e
+is HBM-bandwidth-bound (BENCH.md round-2 study).  Trace ⨝ HLO attribution
+shows the backward pass of the pointwise-conv/BN/ReLU chains is the largest
+cost block: XLA materialises the pre-ReLU boundary sums, re-reads activation
+tensors once per consumer fusion (dX conv, dW conv, dβ/dγ reduces), and
+re-reads the full-size pre-activation just to recover ReLU masks.
+
+This module restructures WHAT the backward pass reads and writes:
+
+* the whole bottleneck block (reference ``model.py:5-39``'s torchvision
+  ResNet-50 v1.5 bottleneck) becomes ONE ``jax.custom_vjp``;
+* the forward saves the block input, the three raw conv outputs, and the
+  boundary ReLU mask as ``int8`` (4x smaller than the bf16 pre-sum XLA
+  would keep);
+* the backward computes each pointwise-conv region — ReLU/BN backward
+  elementwise, dβ/dγ-style channel sums, the data-grad matmul, the
+  weight-grad matmul, and the residual-skip accumulation — in ONE Pallas
+  pass over HBM (kernels below); the 3x3 conv keeps XLA's native vjp;
+* batch-norm statistics enter as per-channel ``(mul, add)`` vectors whose
+  gradients are returned as channel sums, so the ghost-statistics chain
+  rule (``models/norm.py`` SubsetBatchNorm semantics) is handled exactly
+  by JAX autodiff on a few-KB scalar graph outside the kernels.
+
+Gradient identities used (per channel c, rows r; ``y = relu(z*mul+add)``):
+  ``gp = g * (y>0)``; ``dmul = sum_r gp*z``; ``dadd = sum_r gp``;
+  ``dz = gp*mul``; ``dx = dz @ W^T``; ``dW = x^T @ dz``.
+BN statistics gradients follow from ``mul = scale/sqrt(var+eps)``,
+``add = bias - mean*mul`` by the outer (autodiff'd) scalar graph.
+
+Numerical layout matches the unfused model: bf16 elementwise affine/ReLU
+(as ``models/norm.py:79-84``), bf16 MXU matmuls with f32 accumulation,
+f32 parameter/statistics gradients.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["bottleneck_fused", "ghost_stats"]
+
+
+def _on_tpu() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def ghost_stats(zs: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Mean/variance over all axes but the channel one.
+
+    Identical formula to ``models/norm.py:66-72`` (fast variance,
+    clamped at zero), on a leading-rows slice of the activation.
+    """
+    zs = zs.astype(jnp.float32)
+    axes = tuple(range(zs.ndim - 1))
+    mean = jnp.mean(zs, axis=axes)
+    mean2 = jnp.mean(jnp.square(zs), axis=axes)
+    var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+    return mean, var
+
+
+# ---------------------------------------------------------------------------
+# The unified backward kernel.
+#
+# One HBM pass computing, for a pointwise-conv site z_out = x_act @ W:
+#   gp   = g * gate          gate = saved int8 mask  (boundary ReLU)
+#                                 | (z*mul_o+add_o > 0)  (recomputed ReLU)
+#   sums_o = [sum gp*z, sum gp]          (BN-out mul/add grads)
+#   dz   = gp * mul_o
+#   dxa  = dz @ W^T (+ ds skip-grad accumulation)
+#   in_act:  xa = relu(x*mul_i+add_i);  gin = dxa * (xa>0)
+#            dx = gin*mul_i;  sums_i = [sum gin*x, sum gin]
+#   else:    xa = x;  dx = dxa
+#   dW  += xa^T @ dz
+# Statics: in_act, has_mask, has_ds, emit_gp.
+# ---------------------------------------------------------------------------
+
+
+def _bwd_kernel(*refs, in_act: bool, has_mask: bool, has_ds: bool,
+                emit_gp: bool, out_dtype):
+    it = iter(refs)
+    g_ref = next(it)
+    z_ref = next(it)
+    mask_ref = next(it) if has_mask else None
+    x_ref = next(it)
+    ds_ref = next(it) if has_ds else None
+    w_ref = next(it)
+    mul_o_ref = next(it)
+    add_o_ref = next(it)
+    mul_i_ref = next(it) if in_act else None
+    add_i_ref = next(it) if in_act else None
+    dx_ref = next(it)
+    gp_ref = next(it) if emit_gp else None
+    dw_ref = next(it)
+    sums_o_ref = next(it)
+    sums_i_ref = next(it) if in_act else None
+    dw_acc = next(it)
+    so_acc = next(it)
+    si_acc = next(it) if in_act else None
+
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+
+    g = g_ref[:]
+    z = z_ref[:]
+    if has_mask:
+        gp = g * mask_ref[:].astype(g.dtype)
+    else:
+        # Recompute the ReLU gate in the forward's own (low) precision so
+        # the mask matches the forward bitwise.
+        mul_b = mul_o_ref[:].astype(z.dtype)
+        add_b = add_o_ref[:].astype(z.dtype)
+        gate = (z * mul_b + add_b) > 0
+        gp = jnp.where(gate, g, jnp.zeros_like(g))
+    if emit_gp:
+        gp_ref[:] = gp
+
+    gp32 = gp.astype(jnp.float32)
+    s_mul_o = jnp.sum(gp32 * z.astype(jnp.float32), axis=0, keepdims=True)
+    s_add_o = jnp.sum(gp32, axis=0, keepdims=True)
+
+    dz = (gp32 * mul_o_ref[:]).astype(out_dtype)
+    dxa = jax.lax.dot_general(dz, w_ref[:], (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    if has_ds:
+        dxa = dxa + ds_ref[:].astype(jnp.float32)
+
+    x = x_ref[:]
+    if in_act:
+        mul_ib = mul_i_ref[:].astype(x.dtype)
+        add_ib = add_i_ref[:].astype(x.dtype)
+        xa = jnp.maximum(x * mul_ib + add_ib, jnp.zeros_like(x))
+        gin = jnp.where(xa > 0, dxa, 0.0)
+        dx_ref[:] = (gin * mul_i_ref[:]).astype(out_dtype)
+        s_mul_i = jnp.sum(gin * x.astype(jnp.float32), axis=0, keepdims=True)
+        s_add_i = jnp.sum(gin, axis=0, keepdims=True)
+    else:
+        xa = x
+        dx_ref[:] = dxa.astype(out_dtype)
+
+    dw = jax.lax.dot_general(xa.astype(out_dtype), dz,
+                             (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+
+    @pl.when(i == 0)
+    def _init():
+        dw_acc[:] = jnp.zeros_like(dw_acc)
+        so_acc[:] = jnp.zeros_like(so_acc)
+        if in_act:
+            si_acc[:] = jnp.zeros_like(si_acc)
+
+    dw_acc[:] += dw
+    so_acc[:] += jnp.concatenate([s_mul_o, s_add_o], axis=0)
+    if in_act:
+        si_acc[:] += jnp.concatenate([s_mul_i, s_add_i], axis=0)
+
+    @pl.when(i == n - 1)
+    def _emit():
+        dw_ref[:] = dw_acc[:]
+        sums_o_ref[:] = so_acc[:]
+        if in_act:
+            sums_i_ref[:] = si_acc[:]
+
+
+def _pick_tm(m: int, row_bytes: int) -> Optional[int]:
+    """Largest power-of-two divisor of m, in [256, 2048], sized so one
+    row-block stays comfortably inside VMEM."""
+    tm = 1
+    while m % (tm * 2) == 0 and tm < 2048:
+        tm *= 2
+    while tm * row_bytes > 4 * 1024 * 1024 and tm > 256:
+        tm //= 2
+    return tm if tm >= 256 else None
+
+
+def _bwd_ref(g, z, mask, x, ds, w, mul_o, add_o, mul_i, add_i, *,
+             in_act: bool, emit_gp: bool, out_dtype):
+    """jnp reference of the kernel (CPU path + correctness oracle)."""
+    if mask is not None:
+        gp = g * mask.astype(g.dtype)
+    else:
+        mul_b = mul_o.astype(z.dtype)
+        add_b = add_o.astype(z.dtype)
+        gp = jnp.where((z * mul_b + add_b) > 0, g, jnp.zeros_like(g))
+    gp32 = gp.astype(jnp.float32)
+    s_mul_o = jnp.sum(gp32 * z.astype(jnp.float32), axis=0)
+    s_add_o = jnp.sum(gp32, axis=0)
+    dz = (gp32 * mul_o[None]).astype(out_dtype)
+    dxa = jax.lax.dot_general(dz, w, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    if ds is not None:
+        dxa = dxa + ds.astype(jnp.float32)
+    if in_act:
+        mul_ib = mul_i.astype(x.dtype)
+        add_ib = add_i.astype(x.dtype)
+        xa = jnp.maximum(x * mul_ib[None] + add_ib[None], 0)
+        gin = jnp.where(xa > 0, dxa, 0.0)
+        dx = (gin * mul_i[None]).astype(out_dtype)
+        s_mul_i = jnp.sum(gin * x.astype(jnp.float32), axis=0)
+        s_add_i = jnp.sum(gin, axis=0)
+    else:
+        xa = x
+        dx = dxa.astype(out_dtype)
+        s_mul_i = s_add_i = None
+    dw = jax.lax.dot_general(xa.astype(out_dtype), dz,
+                             (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    gp_out = gp if emit_gp else None
+    return dx, gp_out, dw, (s_mul_o, s_add_o), (s_mul_i, s_add_i)
+
+
+def _bwd_pallas(g, z, mask, x, ds, w, mul_o, add_o, mul_i, add_i, *,
+                in_act: bool, emit_gp: bool, out_dtype, interpret: bool):
+    m, co = g.shape
+    ci = x.shape[1]
+    has_mask = mask is not None
+    has_ds = ds is not None
+    bpr = (2 * co * g.dtype.itemsize + co * has_mask + x.dtype.itemsize *
+           (ci * (2 + has_ds) + co * emit_gp))
+    tm = _pick_tm(m, bpr)
+    if tm is None:
+        return _bwd_ref(g, z, mask, x, ds, w, mul_o, add_o, mul_i, add_i,
+                        in_act=in_act, emit_gp=emit_gp, out_dtype=out_dtype)
+
+    row = lambda i: (i, 0)
+    fixed = lambda i: (0, 0)
+    vec = lambda c: pl.BlockSpec((1, c), fixed)
+    in_specs = [pl.BlockSpec((tm, co), row), pl.BlockSpec((tm, co), row)]
+    args = [g, z]
+    if has_mask:
+        in_specs.append(pl.BlockSpec((tm, co), row))
+        args.append(mask)
+    in_specs.append(pl.BlockSpec((tm, ci), row))
+    args.append(x)
+    if has_ds:
+        in_specs.append(pl.BlockSpec((tm, ci), row))
+        args.append(ds)
+    in_specs += [pl.BlockSpec((ci, co), fixed), vec(co), vec(co)]
+    args += [w, mul_o.reshape(1, co), add_o.reshape(1, co)]
+    if in_act:
+        in_specs += [vec(ci), vec(ci)]
+        args += [mul_i.reshape(1, ci), add_i.reshape(1, ci)]
+
+    out_specs = [pl.BlockSpec((tm, ci), row)]
+    out_shape = [jax.ShapeDtypeStruct((m, ci), out_dtype)]
+    if emit_gp:
+        out_specs.append(pl.BlockSpec((tm, co), row))
+        out_shape.append(jax.ShapeDtypeStruct((m, co), g.dtype))
+    out_specs += [pl.BlockSpec((ci, co), fixed), pl.BlockSpec((2, co), fixed)]
+    out_shape += [jax.ShapeDtypeStruct((ci, co), jnp.float32),
+                  jax.ShapeDtypeStruct((2, co), jnp.float32)]
+    if in_act:
+        out_specs.append(pl.BlockSpec((2, ci), fixed))
+        out_shape.append(jax.ShapeDtypeStruct((2, ci), jnp.float32))
+
+    scratch = [pltpu.VMEM((ci, co), jnp.float32),
+               pltpu.VMEM((2, co), jnp.float32)]
+    if in_act:
+        scratch.append(pltpu.VMEM((2, ci), jnp.float32))
+
+    kern = functools.partial(_bwd_kernel, in_act=in_act, has_mask=has_mask,
+                             has_ds=has_ds, emit_gp=emit_gp,
+                             out_dtype=out_dtype)
+    outs = pl.pallas_call(
+        kern,
+        grid=(m // tm,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(*args)
+
+    it = iter(outs)
+    dx = next(it)
+    gp = next(it) if emit_gp else None
+    dw = next(it)
+    so = next(it)
+    si = next(it) if in_act else (None, None)
+    sums_o = (so[0], so[1])
+    sums_i = (si[0], si[1]) if in_act else (None, None)
+    return dx, gp, dw, sums_o, sums_i
+
+
+def _bwd_site(g, z, mask, x, ds, w, mul_o, add_o, mul_i=None, add_i=None, *,
+              in_act: bool, emit_gp: bool, out_dtype, use_pallas: bool,
+              interpret: bool = False):
+    """Dispatch one pointwise-conv backward site to Pallas or jnp."""
+    if use_pallas:
+        return _bwd_pallas(g, z, mask, x, ds, w, mul_o, add_o, mul_i, add_i,
+                           in_act=in_act, emit_gp=emit_gp,
+                           out_dtype=out_dtype, interpret=interpret)
+    return _bwd_ref(g, z, mask, x, ds, w, mul_o, add_o, mul_i, add_i,
+                    in_act=in_act, emit_gp=emit_gp, out_dtype=out_dtype)
+
+
+# ---------------------------------------------------------------------------
+# Block-level custom VJP.
+# ---------------------------------------------------------------------------
+
+
+def _pw(x, w):
+    """Pointwise (1x1) convolution as an MXU dot over the channel dim."""
+    return jax.lax.dot_general(x, w, (((x.ndim - 1,), (0,)), ((), ())),
+                               preferred_element_type=x.dtype)
+
+
+def _conv3x3(xa, w, stride):
+    return jax.lax.conv_general_dilated(
+        xa, w, (stride, stride), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=xa.dtype)
+
+
+def _affine(z, mul, add):
+    # bf16 elementwise affine, bit-matching models/norm.py:79-84.
+    return z * mul.astype(z.dtype) + add.astype(z.dtype)
+
+
+def _block_fwd_math(x0, w1, w2, w3, wd, mul1, add1, mul2, add2, mul3, add3,
+                    muld, addd, *, stride):
+    dt = x0.dtype
+    z1 = _pw(x0, w1.astype(dt))
+    xa1 = jnp.maximum(_affine(z1, mul1, add1), 0)
+    z2 = _conv3x3(xa1, w2.astype(dt), stride)
+    xa2 = jnp.maximum(_affine(z2, mul2, add2), 0)
+    z3 = _pw(xa2, w3.astype(dt))
+    if wd is None:
+        skip = x0
+    else:
+        x0s = x0[:, ::stride, ::stride, :]
+        skip = _affine(_pw(x0s, wd.astype(dt)), muld, addd)
+    pre = _affine(z3, mul3, add3) + skip
+    out = jnp.maximum(pre, 0)
+    mask = (pre > 0).astype(jnp.int8)
+    return out, (z1, z2, z3, mask)
+
+
+def _flat(t):
+    return t.reshape(-1, t.shape[-1])
+
+
+@functools.lru_cache(maxsize=None)
+def _make_block_op(stride: int, downsample: bool, use_pallas: bool,
+                   interpret: bool):
+    """Build the custom-VJP bottleneck op for one static configuration."""
+
+    def fwd_math(x0, w1, w2, w3, mul1, add1, mul2, add2, mul3, add3,
+                 wd=None, muld=None, addd=None):
+        return _block_fwd_math(x0, w1, w2, w3, wd, mul1, add1, mul2, add2,
+                               mul3, add3, muld, addd, stride=stride)
+
+    def fwd(x0, w1, w2, w3, mul1, add1, mul2, add2, mul3, add3,
+            wd=None, muld=None, addd=None):
+        out, (z1, z2, z3, mask) = fwd_math(
+            x0, w1, w2, w3, mul1, add1, mul2, add2, mul3, add3,
+            wd, muld, addd)
+        res = (x0, z1, z2, z3, mask, w1, w2, w3, wd,
+               mul1, add1, mul2, add2, mul3, muld)
+        return out, res
+
+    def bwd(res, g):
+        (x0, z1, z2, z3, mask, w1, w2, w3, wd,
+         mul1, add1, mul2, add2, mul3, muld) = res
+        dt = x0.dtype
+        g = g.astype(dt)
+        site = functools.partial(_bwd_site, out_dtype=dt,
+                                 use_pallas=use_pallas, interpret=interpret)
+
+        # Tail: boundary ReLU + bn3 + conv3 dX/dW + bn2/relu2 backward.
+        dz2f, ds2, dw3, (dmul3, dadd3), (dmul2, dadd2) = site(
+            _flat(g), _flat(z3), _flat(mask), _flat(z2), None,
+            w3.astype(dt), mul3, jnp.zeros_like(mul3), mul2, add2,
+            in_act=True, emit_gp=True)
+        dz2 = dz2f.reshape(z2.shape)
+
+        # Middle: the 3x3 convolution keeps XLA's native vjp.
+        xa1 = jnp.maximum(_affine(z1, mul1, add1), 0)
+        _, conv_vjp = jax.vjp(
+            lambda xa, w: _conv3x3(xa, w, stride), xa1, w2.astype(dt))
+        dxa1, dw2b = conv_vjp(dz2)
+
+        # Head: bn1/relu1 backward + conv1 dX/dW (+ skip accumulation).
+        ds4 = ds2.reshape(g.shape)
+        ds_head = _flat(ds4) if not downsample else None
+        dx0f, _, dw1, (dmul1, dadd1), _ = site(
+            _flat(dxa1), _flat(z1), None, _flat(x0), ds_head,
+            w1.astype(dt), mul1, add1,
+            in_act=False, emit_gp=False)
+        dx0 = dx0f.reshape(x0.shape)
+
+        grads = [dx0, dw1.astype(w1.dtype), dw2b.astype(w2.dtype),
+                 dw3.astype(w3.dtype),
+                 dmul1.astype(mul1.dtype), dadd1.astype(mul1.dtype),
+                 dmul2.astype(mul2.dtype), dadd2.astype(mul2.dtype),
+                 dmul3.astype(mul3.dtype), dadd3.astype(mul3.dtype)]
+
+        if downsample:
+            # Skip path through the (possibly strided) downsample conv +
+            # BN: small site, XLA handles it.
+            x0s = x0[:, ::stride, ::stride, :]
+            wdb = wd.astype(dt)
+            zd = _pw(x0s, wdb)
+            ds32 = ds4.astype(jnp.float32)
+            dmuld = jnp.sum(ds32 * zd.astype(jnp.float32), axis=(0, 1, 2))
+            daddd = jnp.sum(ds32, axis=(0, 1, 2))
+            dzd = (ds32 * muld).astype(dt)
+            dwd = jax.lax.dot_general(
+                dzd.reshape(-1, dzd.shape[-1]),
+                x0s.reshape(-1, x0s.shape[-1]),
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).T
+            dx0s = jax.lax.dot_general(
+                dzd, wdb, (((3,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(dt)
+            dx0 = dx0.at[:, ::stride, ::stride, :].add(dx0s)
+            grads[0] = dx0
+            grads += [dwd.astype(wd.dtype), dmuld.astype(muld.dtype),
+                      daddd.astype(muld.dtype)]
+        return tuple(grads)
+
+    if downsample:
+        @jax.custom_vjp
+        def op(x0, w1, w2, w3, mul1, add1, mul2, add2, mul3, add3,
+               wd, muld, addd):
+            return fwd_math(x0, w1, w2, w3, mul1, add1, mul2, add2,
+                            mul3, add3, wd, muld, addd)[0]
+        op.defvjp(fwd, bwd)
+    else:
+        @jax.custom_vjp
+        def op(x0, w1, w2, w3, mul1, add1, mul2, add2, mul3, add3):
+            return fwd_math(x0, w1, w2, w3, mul1, add1, mul2, add2,
+                            mul3, add3)[0]
+
+        def fwd_id(x0, w1, w2, w3, mul1, add1, mul2, add2, mul3, add3):
+            return fwd(x0, w1, w2, w3, mul1, add1, mul2, add2, mul3, add3)
+
+        op.defvjp(fwd_id, bwd)
+    return op
+
+
+def bottleneck_fused(x0, w1, w2, w3, mul1, add1, mul2, add2, mul3, add3,
+                     wd=None, muld=None, addd=None, *, stride: int = 1,
+                     use_pallas: Optional[bool] = None,
+                     interpret: bool = False):
+    """Bottleneck block with a restructured, Pallas-fused backward pass.
+
+    Args mirror the v1.5 bottleneck (reference torchvision block the
+    reference model instantiates, ``model.py:11``): ``w1``/``w3`` are the
+    pointwise kernels as ``[cin, cout]``; ``w2`` the ``[3,3,f,f]`` spatial
+    kernel; ``mul*/add*`` the folded batch-norm affines (f32); ``wd``/
+    ``muld``/``addd`` the optional downsample path.  Returns the block
+    output; gradients flow to every input.
+    """
+    if use_pallas is None:
+        # OSI_FUSED_BLOCK_BWD: auto (Pallas on TPU) | pallas | jnp.  The
+        # jnp backward has identical math/dataflow; XLA fuses it itself
+        # (perf-comparison knob, also the CPU path).
+        mode = os.environ.get("OSI_FUSED_BLOCK_BWD", "auto")
+        use_pallas = _on_tpu() if mode == "auto" else (mode == "pallas")
+    op = _make_block_op(stride, wd is not None, bool(use_pallas),
+                        bool(interpret))
+    if wd is None:
+        return op(x0, w1, w2, w3, mul1, add1, mul2, add2, mul3, add3)
+    return op(x0, w1, w2, w3, mul1, add1, mul2, add2, mul3, add3,
+              wd, muld, addd)

@@ -453,10 +453,12 @@ def build_model(cfg, n_classes: int) -> ResNet50:
         if model_cfg is not None else False
     remat = (getattr(model_cfg, "remat", False) or False) \
         if model_cfg is not None else False
+    fused = bool(getattr(model_cfg, "fused_blocks", False)) \
+        if model_cfg is not None else False
     return build_resnet(variant, fc_layer_dim=n_classes,
                         out_features=n_classes, logit_bias=False,
                         bn_stats_rows=bn_rows, space_to_depth=s2d,
-                        remat=remat)
+                        remat=remat, fused_blocks=fused)
 
 
 class _NullWriter:
