@@ -11,8 +11,9 @@ import jax
 from bench_variants import build, time_step
 
 
-def main(outdir="/tmp/osi_trace", ghost=64, batch=256):
-    state, step, arrays = build(int(batch), ghost=int(ghost))
+def main(outdir="/tmp/osi_trace", ghost=64, batch=256, fused="0"):
+    state, step, arrays = build(int(batch), ghost=int(ghost),
+                                fused_blocks=fused not in ("0", "", None))
     # Warm up + compile outside the trace window.
     rate, state = time_step(state, step, arrays, int(batch), steps=5,
                             warmup=3, repeats=1)

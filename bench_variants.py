@@ -202,22 +202,29 @@ VARIANTS = {
         fused_blocks=True),
     "hlo_fusedblk": lambda: hlo_dump("/tmp/osi_step_hlo_fusedblk.txt",
                                      ghost=64, fused_blocks=True),
+    "hlo_fusedblk_jnp": lambda: _with_env(
+        {"OSI_FUSED_BLOCK_BWD": "jnp"}, hlo_dump,
+        "/tmp/osi_step_hlo_fusedblk_jnp.txt", ghost=64, fused_blocks=True),
     "cost_fusedblk": lambda: cost_analysis(ghost=64, fused_blocks=True),
 }
 
 
-def run_variant_env(name, batch, env, **kw):
+def _with_env(env, fn, *args, **kw):
     import os
     old = {k: os.environ.get(k) for k in env}
     os.environ.update(env)
     try:
-        run_variant(name, batch, **kw)
+        return fn(*args, **kw)
     finally:
         for k, v in old.items():
             if v is None:
                 os.environ.pop(k, None)
             else:
                 os.environ[k] = v
+
+
+def run_variant_env(name, batch, env, **kw):
+    _with_env(env, run_variant, name, batch, **kw)
 
 
 def main(argv):

@@ -412,8 +412,9 @@ _VARIANTS = {
     "resnet50": dict(stage_sizes=(3, 4, 6, 3), block=Bottleneck),
     "resnet101": dict(stage_sizes=(3, 4, 23, 3), block=Bottleneck),
     "resnet152": dict(stage_sizes=(3, 8, 36, 3), block=Bottleneck),
-    # Tiny variant for tests/CI: one block per stage, narrow.
+    # Tiny variants for tests/CI: one block per stage, narrow.
     "tiny": dict(stage_sizes=(1, 1, 1, 1), block=BasicBlock, width=8),
+    "tiny50": dict(stage_sizes=(1, 1, 1, 1), block=Bottleneck, width=8),
 }
 
 

@@ -169,20 +169,28 @@ def _bwd_kernel(*refs, in_act: bool, has_mask: bool, has_ds: bool,
             sums_i_ref[:] = si_acc[:]
 
 
-def _pick_tm(m: int, row_bytes: int) -> Optional[int]:
-    """Largest power-of-two divisor of m, in [256, 2048], sized so one
-    row-block stays comfortably inside VMEM."""
+def _pick_tm(m: int, row_bytes: int, fixed_bytes: int) -> Optional[int]:
+    """Largest power-of-two divisor of m, in [256, 2048], sized so the
+    kernel's double-buffered row streams plus its fixed VMEM residents
+    (weights, accumulators) fit a ~12 MB budget of the 16 MB VMEM."""
+    budget = 12 * 1024 * 1024 - fixed_bytes
     tm = 1
     while m % (tm * 2) == 0 and tm < 2048:
         tm *= 2
-    while tm * row_bytes > 4 * 1024 * 1024 and tm > 256:
+    while tm > 256 and 2 * tm * row_bytes > budget:
         tm //= 2
-    return tm if tm >= 256 else None
+    return tm if tm >= 256 and 2 * tm * row_bytes <= budget else None
 
 
 def _bwd_ref(g, z, mask, x, ds, w, mul_o, add_o, mul_i, add_i, *,
              in_act: bool, emit_gp: bool, out_dtype):
-    """jnp reference of the kernel (CPU path + correctness oracle)."""
+    """jnp form of the kernel (shape-agnostic over [..., C]).
+
+    The XLA path AND the correctness oracle for the Pallas path.  Works
+    on the native (4D NHWC) tensors directly — no reshapes, so XLA keeps
+    its conv-friendly layouts and no physical transposes appear.
+    """
+    lead = tuple(range(g.ndim - 1))
     if mask is not None:
         gp = g * mask.astype(g.dtype)
     else:
@@ -190,27 +198,27 @@ def _bwd_ref(g, z, mask, x, ds, w, mul_o, add_o, mul_i, add_i, *,
         add_b = add_o.astype(z.dtype)
         gp = jnp.where((z * mul_b + add_b) > 0, g, jnp.zeros_like(g))
     gp32 = gp.astype(jnp.float32)
-    s_mul_o = jnp.sum(gp32 * z.astype(jnp.float32), axis=0)
-    s_add_o = jnp.sum(gp32, axis=0)
-    dz = (gp32 * mul_o[None]).astype(out_dtype)
-    dxa = jax.lax.dot_general(dz, w, (((1,), (1,)), ((), ())),
+    s_mul_o = jnp.sum(gp32 * z.astype(jnp.float32), axis=lead)
+    s_add_o = jnp.sum(gp32, axis=lead)
+    dz = (gp32 * mul_o).astype(out_dtype)
+    dxa = jax.lax.dot_general(dz, w, (((dz.ndim - 1,), (1,)), ((), ())),
                               preferred_element_type=jnp.float32)
     if ds is not None:
         dxa = dxa + ds.astype(jnp.float32)
     if in_act:
         mul_ib = mul_i.astype(x.dtype)
         add_ib = add_i.astype(x.dtype)
-        xa = jnp.maximum(x * mul_ib[None] + add_ib[None], 0)
+        xa = jnp.maximum(x * mul_ib + add_ib, 0)
         gin = jnp.where(xa > 0, dxa, 0.0)
-        dx = (gin * mul_i[None]).astype(out_dtype)
-        s_mul_i = jnp.sum(gin * x.astype(jnp.float32), axis=0)
-        s_add_i = jnp.sum(gin, axis=0)
+        dx = (gin * mul_i).astype(out_dtype)
+        s_mul_i = jnp.sum(gin * x.astype(jnp.float32), axis=lead)
+        s_add_i = jnp.sum(gin, axis=lead)
     else:
         xa = x
         dx = dxa.astype(out_dtype)
         s_mul_i = s_add_i = None
     dw = jax.lax.dot_general(xa.astype(out_dtype), dz,
-                             (((0,), (0,)), ((), ())),
+                             ((lead, lead), ((), ())),
                              preferred_element_type=jnp.float32)
     gp_out = gp if emit_gp else None
     return dx, gp_out, dw, (s_mul_o, s_add_o), (s_mul_i, s_add_i)
@@ -218,15 +226,24 @@ def _bwd_ref(g, z, mask, x, ds, w, mul_o, add_o, mul_i, add_i, *,
 
 def _bwd_pallas(g, z, mask, x, ds, w, mul_o, add_o, mul_i, add_i, *,
                 in_act: bool, emit_gp: bool, out_dtype, interpret: bool):
+    orig = (g, z, mask, x, ds)
+    g_shape, x_shape = g.shape, x.shape
+    _f = _flat
+    g, z, x = _f(g), _f(z), _f(x)
+    mask = _f(mask) if mask is not None else None
+    ds = _f(ds) if ds is not None else None
     m, co = g.shape
     ci = x.shape[1]
     has_mask = mask is not None
     has_ds = ds is not None
-    bpr = (2 * co * g.dtype.itemsize + co * has_mask + x.dtype.itemsize *
-           (ci * (2 + has_ds) + co * emit_gp))
-    tm = _pick_tm(m, bpr)
+    # Per-row bytes across every double-buffered stream, and the fixed
+    # VMEM residents (weights + f32 accumulators + intermediates).
+    bpr = (co * g.dtype.itemsize * (2 + emit_gp) + co * has_mask +
+           x.dtype.itemsize * (ci * (2 + has_ds)) + 8 * co + 8 * ci)
+    fixed = ci * co * (w.dtype.itemsize + 8) + 64 * (ci + co)
+    tm = _pick_tm(m, bpr, fixed)
     if tm is None:
-        return _bwd_ref(g, z, mask, x, ds, w, mul_o, add_o, mul_i, add_i,
+        return _bwd_ref(*orig, w, mul_o, add_o, mul_i, add_i,
                         in_act=in_act, emit_gp=emit_gp, out_dtype=out_dtype)
 
     row = lambda i: (i, 0)
@@ -281,8 +298,8 @@ def _bwd_pallas(g, z, mask, x, ds, w, mul_o, add_o, mul_i, add_i, *,
     )(*args)
 
     it = iter(outs)
-    dx = next(it)
-    gp = next(it) if emit_gp else None
+    dx = next(it).reshape(x_shape)
+    gp = next(it).reshape(g_shape) if emit_gp else None
     dw = next(it)
     so = next(it)
     si = next(it) if in_act else (None, None)
@@ -377,11 +394,10 @@ def _make_block_op(stride: int, downsample: bool, use_pallas: bool,
                                  use_pallas=use_pallas, interpret=interpret)
 
         # Tail: boundary ReLU + bn3 + conv3 dX/dW + bn2/relu2 backward.
-        dz2f, ds2, dw3, (dmul3, dadd3), (dmul2, dadd2) = site(
-            _flat(g), _flat(z3), _flat(mask), _flat(z2), None,
+        dz2, ds4, dw3, (dmul3, dadd3), (dmul2, dadd2) = site(
+            g, z3, mask, z2, None,
             w3.astype(dt), mul3, jnp.zeros_like(mul3), mul2, add2,
             in_act=True, emit_gp=True)
-        dz2 = dz2f.reshape(z2.shape)
 
         # Middle: the 3x3 convolution keeps XLA's native vjp.
         xa1 = jnp.maximum(_affine(z1, mul1, add1), 0)
@@ -390,13 +406,11 @@ def _make_block_op(stride: int, downsample: bool, use_pallas: bool,
         dxa1, dw2b = conv_vjp(dz2)
 
         # Head: bn1/relu1 backward + conv1 dX/dW (+ skip accumulation).
-        ds4 = ds2.reshape(g.shape)
-        ds_head = _flat(ds4) if not downsample else None
-        dx0f, _, dw1, (dmul1, dadd1), _ = site(
-            _flat(dxa1), _flat(z1), None, _flat(x0), ds_head,
+        ds_head = ds4 if not downsample else None
+        dx0, _, dw1, (dmul1, dadd1), _ = site(
+            dxa1, z1, None, x0, ds_head,
             w1.astype(dt), mul1, add1,
             in_act=False, emit_gp=False)
-        dx0 = dx0f.reshape(x0.shape)
 
         grads = [dx0, dw1.astype(w1.dtype), dw2b.astype(w2.dtype),
                  dw3.astype(w3.dtype),
@@ -406,24 +420,17 @@ def _make_block_op(stride: int, downsample: bool, use_pallas: bool,
 
         if downsample:
             # Skip path through the (possibly strided) downsample conv +
-            # BN: small site, XLA handles it.
-            x0s = x0[:, ::stride, ::stride, :]
-            wdb = wd.astype(dt)
-            zd = _pw(x0s, wdb)
-            ds32 = ds4.astype(jnp.float32)
-            dmuld = jnp.sum(ds32 * zd.astype(jnp.float32), axis=(0, 1, 2))
-            daddd = jnp.sum(ds32, axis=(0, 1, 2))
-            dzd = (ds32 * muld).astype(dt)
-            dwd = jax.lax.dot_general(
-                dzd.reshape(-1, dzd.shape[-1]),
-                x0s.reshape(-1, x0s.shape[-1]),
-                (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32).T
-            dx0s = jax.lax.dot_general(
-                dzd, wdb, (((3,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32).astype(dt)
-            dx0 = dx0.at[:, ::stride, ::stride, :].add(dx0s)
-            grads[0] = dx0
+            # BN: small site, XLA's own vjp handles it (the strided-slice
+            # transpose lowers to an interior pad, NOT a scatter).
+            def skip_fn(x0_, wd_, muld_, addd_):
+                x0s = x0_[:, ::stride, ::stride, :]
+                return _affine(_pw(x0s, wd_.astype(dt)), muld_, addd_)
+
+            muld_f = muld
+            _, skip_vjp = jax.vjp(skip_fn, x0, wd, muld_f,
+                                  jnp.zeros_like(muld_f))
+            dx0s, dwd, dmuld, daddd = skip_vjp(ds4)
+            grads[0] = dx0 + dx0s
             grads += [dwd.astype(wd.dtype), dmuld.astype(muld.dtype),
                       daddd.astype(muld.dtype)]
         return tuple(grads)

@@ -243,6 +243,52 @@ def test_module_fused_matches_unfused_eval():
                                rtol=1e-4, atol=1e-4)
 
 
+def test_engine_step_fused_matches_unfused_on_mesh():
+    """Fused blocks through the full jitted DP train step (8-dev mesh).
+
+    Locks GSPMD compatibility of the block custom-VJP and end-to-end
+    update equivalence with the unfused model (f32, jnp backward on CPU).
+    """
+    from openset_imagenet_tpu import train as engine
+    from openset_imagenet_tpu.config import NameSpace
+    from openset_imagenet_tpu.models.resnet import build_resnet
+    from openset_imagenet_tpu.parallel.mesh import (batch_sharding,
+                                                    make_mesh, replicated)
+
+    tx_cfg = NameSpace({"type": "sgd", "lr": 0.1, "decay": 0, "gamma": 1})
+    loss_fn = engine.make_loss_fn("entropic")
+    rng = np.random.default_rng(3)
+    images = rng.integers(0, 256, (16, 32, 32, 3), np.uint8)
+    labels = np.asarray(rng.integers(-1, 4, 16), np.int32)
+    mask = np.ones(16, np.float32)
+    mesh = make_mesh(8)
+
+    def run(fused):
+        model = build_resnet("tiny50", fc_layer_dim=4, out_features=4,
+                             dtype=jnp.float32, bn_stats_rows=4,
+                             fused_blocks=fused)
+        tx = engine.build_optimizer(tx_cfg, 1)
+        state = engine.create_state(model, jax.random.PRNGKey(0), tx,
+                                    image_size=32)
+        state = jax.device_put(state, replicated(mesh))
+        sh = batch_sharding(mesh)
+        b = [jax.device_put(v, sh) for v in (images, labels, mask)]
+        step = engine.make_train_step(loss_fn, mesh)
+        new_state, m = step(state, *b)
+        return new_state, float(m["loss_sum"])
+
+    s_f, loss_f = run(True)
+    s_u, loss_u = run(False)
+    assert loss_f == pytest.approx(loss_u, rel=1e-4)
+    for a, b in zip(jax.tree.leaves(jax.tree.map(np.asarray, s_f.params)),
+                    jax.tree.leaves(jax.tree.map(np.asarray, s_u.params))):
+        np.testing.assert_allclose(a, b, rtol=5e-4, atol=5e-4)
+    for a, b in zip(
+            jax.tree.leaves(jax.tree.map(np.asarray, s_f.batch_stats)),
+            jax.tree.leaves(jax.tree.map(np.asarray, s_u.batch_stats))):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
 def test_fused_train_requires_ghost_rows():
     blk = Bottleneck(filters=2, strides=1, dtype=jnp.float32, fused=True,
                      train=True, stats_rows=0)
