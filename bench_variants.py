@@ -18,7 +18,7 @@ import numpy as np
 
 def build(batch: int, *, s2d=True, ghost=64, steps_mode="gspmd",
           n_classes=1000, fused_loss=False, remat=False, dot_1x1=False,
-          fused_blocks=False):
+          fused_blocks=False, boundary_mask=False):
     from openset_imagenet_tpu import train as engine
     from openset_imagenet_tpu.config import NameSpace
     from openset_imagenet_tpu.models.resnet import build_resnet
@@ -27,7 +27,8 @@ def build(batch: int, *, s2d=True, ghost=64, steps_mode="gspmd",
                          out_features=n_classes, logit_bias=False,
                          space_to_depth=s2d, bn_stats_rows=ghost,
                          remat=remat, dot_1x1=dot_1x1,
-                         fused_blocks=fused_blocks)
+                         fused_blocks=fused_blocks,
+                         boundary_mask=boundary_mask)
     tx = engine.build_optimizer(
         NameSpace({"type": "adam", "lr": 1e-3, "decay": 0, "gamma": 1}), 1)
     state = engine.create_state(model, jax.random.PRNGKey(0), tx)
@@ -206,6 +207,12 @@ VARIANTS = {
         {"OSI_FUSED_BLOCK_BWD": "jnp"}, hlo_dump,
         "/tmp/osi_step_hlo_fusedblk_jnp.txt", ghost=64, fused_blocks=True),
     "cost_fusedblk": lambda: cost_analysis(ghost=64, fused_blocks=True),
+    # int8 boundary-ReLU masks on the standard autodiff path.
+    "bmask": lambda: run_variant("bmask", 256, ghost=64,
+                                 boundary_mask=True),
+    "bmask_g32": lambda: run_variant("bmask_g32", 256, ghost=32,
+                                     boundary_mask=True),
+    "cost_bmask": lambda: cost_analysis(ghost=64, boundary_mask=True),
 }
 
 

@@ -118,6 +118,9 @@ class BasicBlock(nn.Module):
     norm: ModuleDef = nn.BatchNorm
     dtype: Any = jnp.bfloat16
     expansion: int = 1
+    # Save the boundary ReLU gate as int8 (ops/fused_block.masked_add_relu)
+    # instead of letting autodiff re-read the bf16 pre-sum in backward.
+    boundary_mask: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -145,6 +148,9 @@ class BasicBlock(nn.Module):
                      name="downsample_conv")(residual), "conv_out")
             residual = self.norm(name="downsample_bn")(residual)
 
+        if self.boundary_mask:
+            from ..ops.fused_block import masked_add_relu
+            return masked_add_relu(y, residual)
         return nn.relu(y + residual)
 
 
@@ -181,6 +187,8 @@ class Bottleneck(nn.Module):
     stats_rows: int = 0
     bn_momentum: float = 0.9
     bn_epsilon: float = 1e-5
+    # Save the boundary ReLU gate as int8 (see BasicBlock.boundary_mask).
+    boundary_mask: bool = False
 
     def _fused_call(self, x):
         from ..ops.fused_block import (_affine, _conv3x3, _pw,
@@ -293,6 +301,9 @@ class Bottleneck(nn.Module):
             residual = checkpoint_name(ds(residual), "conv_out")
             residual = self.norm(name="downsample_bn")(residual)
 
+        if self.boundary_mask:
+            from ..ops.fused_block import masked_add_relu
+            return masked_add_relu(y, residual)
         return nn.relu(y + residual)
 
 
@@ -336,6 +347,9 @@ class ResNet50(nn.Module):
     # custom VJP with Pallas kernels for the pointwise backward regions.
     # Requires bn_stats_rows > 0 for training; Bottleneck variants only.
     fused_blocks: bool = False
+    # Residual-boundary ReLU gates saved as int8 (backward reads the 1-byte
+    # mask instead of the bf16 pre-sum; ops/fused_block.masked_add_relu).
+    boundary_mask: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True
@@ -374,6 +388,8 @@ class ResNet50(nn.Module):
                                  " (resnet50/101/152)")
             block_kwargs.update(fused=True, train=train,
                                 stats_rows=self.bn_stats_rows)
+        if self.boundary_mask:
+            block_kwargs["boundary_mask"] = True
         mode = {False: "none", None: "none", True: "blocks"}.get(
             self.remat, self.remat)
         if mode == "blocks":
@@ -423,7 +439,8 @@ def build_resnet(variant: str = "resnet50", *, fc_layer_dim: int,
                  dtype: Any = jnp.bfloat16, bn_stats_rows: int = 0,
                  space_to_depth: bool = False,
                  remat: Any = False, dot_1x1: bool = False,
-                 fused_blocks: bool = False) -> ResNet50:
+                 fused_blocks: bool = False,
+                 boundary_mask: bool = False) -> ResNet50:
     """Construct a two-head ResNet by variant name."""
     if variant not in _VARIANTS:
         raise ValueError(
@@ -435,4 +452,5 @@ def build_resnet(variant: str = "resnet50", *, fc_layer_dim: int,
                     width=spec.get("width", 64),
                     bn_stats_rows=bn_stats_rows,
                     space_to_depth=space_to_depth, remat=remat,
-                    dot_1x1=dot_1x1, fused_blocks=fused_blocks)
+                    dot_1x1=dot_1x1, fused_blocks=fused_blocks,
+                    boundary_mask=boundary_mask)

@@ -45,7 +45,35 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["bottleneck_fused", "ghost_stats"]
+__all__ = ["bottleneck_fused", "ghost_stats", "masked_add_relu"]
+
+
+@jax.custom_vjp
+def masked_add_relu(a, b):
+    """``relu(a + b)`` whose backward reads an int8 mask, not the sum.
+
+    At every residual-block boundary the standard autodiff saves the
+    pre-ReLU sum (a full-size bf16 tensor) and re-reads it in backward
+    just to recover the ReLU gate.  Saving the gate itself as int8 makes
+    the backward read 4x smaller there (+1/4x extra forward write) while
+    leaving the rest of the graph — and therefore XLA's fusion and layout
+    decisions — completely unchanged.  Arithmetically identical to
+    ``nn.relu(a + b)`` including the tie at 0 (gate is ``sum > 0``).
+    """
+    return jnp.maximum(a + b, 0)
+
+
+def _mar_fwd(a, b):
+    s = a + b
+    return jnp.maximum(s, 0), (s > 0).astype(jnp.int8)
+
+
+def _mar_bwd(mask, g):
+    gm = g * mask.astype(g.dtype)
+    return gm, gm
+
+
+masked_add_relu.defvjp(_mar_fwd, _mar_bwd)
 
 
 def _on_tpu() -> bool:

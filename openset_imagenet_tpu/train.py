@@ -455,10 +455,13 @@ def build_model(cfg, n_classes: int) -> ResNet50:
         if model_cfg is not None else False
     fused = bool(getattr(model_cfg, "fused_blocks", False)) \
         if model_cfg is not None else False
+    bmask = bool(getattr(model_cfg, "boundary_mask", False)) \
+        if model_cfg is not None else False
     return build_resnet(variant, fc_layer_dim=n_classes,
                         out_features=n_classes, logit_bias=False,
                         bn_stats_rows=bn_rows, space_to_depth=s2d,
-                        remat=remat, fused_blocks=fused)
+                        remat=remat, fused_blocks=fused,
+                        boundary_mask=bmask)
 
 
 class _NullWriter:

@@ -289,6 +289,53 @@ def test_engine_step_fused_matches_unfused_on_mesh():
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
 
 
+def test_masked_add_relu_grads_match_autodiff():
+    rng = np.random.default_rng(11)
+    a = jnp.asarray(rng.standard_normal((4, 8, 8, 8)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((4, 8, 8, 8)), jnp.float32)
+    r = jnp.asarray(rng.standard_normal((4, 8, 8, 8)), jnp.float32)
+
+    def f_masked(a, b):
+        return jnp.sum(fb.masked_add_relu(a, b) * r)
+
+    def f_plain(a, b):
+        return jnp.sum(jnp.maximum(a + b, 0) * r)
+
+    np.testing.assert_array_equal(np.asarray(f_masked(a, b)),
+                                  np.asarray(f_plain(a, b)))
+    gm = jax.grad(f_masked, (0, 1))(a, b)
+    gp = jax.grad(f_plain, (0, 1))(a, b)
+    for x, y in zip(gm, gp):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_boundary_mask_model_grads_match():
+    """ResNet with boundary_mask on == off, bit-for-bit in f32."""
+    from openset_imagenet_tpu.models.resnet import build_resnet
+    x = jnp.asarray(np.random.default_rng(2).standard_normal(
+        (4, 32, 32, 3)), jnp.float32)
+
+    def run(bm):
+        model = build_resnet("tiny50", fc_layer_dim=4, out_features=4,
+                             dtype=jnp.float32, bn_stats_rows=2,
+                             boundary_mask=bm)
+        v = model.init(jax.random.PRNGKey(0), x, train=False)
+
+        def loss(p):
+            (logits, feats), _ = model.apply(
+                {"params": p, "batch_stats": v["batch_stats"]}, x,
+                train=True, mutable=["batch_stats"])
+            return jnp.sum(logits ** 2) + jnp.sum(feats ** 2)
+
+        return v, jax.grad(loss)(v["params"])
+
+    v0, g0 = run(False)
+    v1, g1 = run(True)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)
+
+
 def test_fused_train_requires_ghost_rows():
     blk = Bottleneck(filters=2, strides=1, dtype=jnp.float32, fused=True,
                      train=True, stats_rows=0)
