@@ -142,10 +142,11 @@ def _bwd_kernel(*refs, in_act: bool, has_mask: bool, has_ds: bool,
         gp = g * mask_ref[:].astype(g.dtype)
     else:
         # Recompute the ReLU gate in the forward's own (low) precision so
-        # the mask matches the forward bitwise.
+        # the mask matches the forward bitwise; the COMPARISON runs in f32
+        # (exact on upcast) because Mosaic v5e rejects bf16 cmpf.
         mul_b = mul_o_ref[:].astype(z.dtype)
         add_b = add_o_ref[:].astype(z.dtype)
-        gate = (z * mul_b + add_b) > 0
+        gate = (z * mul_b + add_b).astype(jnp.float32) > 0
         gp = jnp.where(gate, g, jnp.zeros_like(g))
     if emit_gp:
         gp_ref[:] = gp
@@ -165,7 +166,7 @@ def _bwd_kernel(*refs, in_act: bool, has_mask: bool, has_ds: bool,
         mul_ib = mul_i_ref[:].astype(x.dtype)
         add_ib = add_i_ref[:].astype(x.dtype)
         xa = jnp.maximum(x * mul_ib + add_ib, jnp.zeros_like(x))
-        gin = jnp.where(xa > 0, dxa, 0.0)
+        gin = jnp.where(xa.astype(jnp.float32) > 0, dxa, 0.0)
         dx_ref[:] = (gin * mul_i_ref[:]).astype(out_dtype)
         s_mul_i = jnp.sum(gin * x.astype(jnp.float32), axis=0, keepdims=True)
         s_add_i = jnp.sum(gin, axis=0, keepdims=True)
@@ -497,11 +498,11 @@ def bottleneck_fused(x0, w1, w2, w3, mul1, add1, mul2, add2, mul3, add3,
     output; gradients flow to every input.
     """
     if use_pallas is None:
-        # OSI_FUSED_BLOCK_BWD: auto (Pallas on TPU) | pallas | jnp.  The
-        # jnp backward has identical math/dataflow; XLA fuses it itself
-        # (perf-comparison knob, also the CPU path).
-        mode = os.environ.get("OSI_FUSED_BLOCK_BWD", "auto")
-        use_pallas = _on_tpu() if mode == "auto" else (mode == "pallas")
+        # OSI_FUSED_BLOCK_BWD: jnp (default) | pallas.  The jnp backward
+        # has identical math/dataflow and XLA's fusion emitters stream it
+        # ~3x faster than Mosaic on the current toolchain (BENCH.md
+        # round-2b study); the Pallas form is the opt-in experiment.
+        use_pallas = os.environ.get("OSI_FUSED_BLOCK_BWD", "jnp") == "pallas"
     op = _make_block_op(stride, wd is not None, bool(use_pallas),
                         bool(interpret))
     if wd is None:
