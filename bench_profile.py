@@ -1,6 +1,7 @@
 """Capture a jax.profiler trace of the train step for perf attribution.
 
-Usage: python bench_profile.py [outdir] [ghost] [batch]
+Usage: python bench_profile.py [outdir] [ghost] [batch] [fused]
+       (fused: 1/true enables model.fused_blocks; default off)
 Then:  python tools/parse_trace.py <outdir>
 """
 
@@ -12,8 +13,9 @@ from bench_variants import build, time_step
 
 
 def main(outdir="/tmp/osi_trace", ghost=64, batch=256, fused="0"):
+    fused_on = str(fused).lower() in ("1", "true", "yes", "fused")
     state, step, arrays = build(int(batch), ghost=int(ghost),
-                                fused_blocks=fused not in ("0", "", None))
+                                fused_blocks=fused_on)
     # Warm up + compile outside the trace window.
     rate, state = time_step(state, step, arrays, int(batch), steps=5,
                             warmup=3, repeats=1)

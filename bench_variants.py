@@ -198,14 +198,15 @@ VARIANTS = {
                                     fused_blocks=True),
     "fusedblk_g32": lambda: run_variant("fusedblk_g32", 256, ghost=32,
                                         fused_blocks=True),
-    "fusedblk_jnp": lambda: run_variant_env(
-        "fusedblk_jnp", 256, {"OSI_FUSED_BLOCK_BWD": "jnp"}, ghost=64,
-        fused_blocks=True),
+    "fusedblk_pallas": lambda: run_variant_env(
+        "fusedblk_pallas", 256, {"OSI_FUSED_BLOCK_BWD": "pallas"},
+        ghost=64, fused_blocks=True),
     "hlo_fusedblk": lambda: hlo_dump("/tmp/osi_step_hlo_fusedblk.txt",
                                      ghost=64, fused_blocks=True),
-    "hlo_fusedblk_jnp": lambda: _with_env(
-        {"OSI_FUSED_BLOCK_BWD": "jnp"}, hlo_dump,
-        "/tmp/osi_step_hlo_fusedblk_jnp.txt", ghost=64, fused_blocks=True),
+    "hlo_fusedblk_pallas": lambda: _with_env(
+        {"OSI_FUSED_BLOCK_BWD": "pallas"}, hlo_dump,
+        "/tmp/osi_step_hlo_fusedblk_pallas.txt", ghost=64,
+        fused_blocks=True),
     "cost_fusedblk": lambda: cost_analysis(ghost=64, fused_blocks=True),
     # int8 boundary-ReLU masks on the standard autodiff path.
     "bmask": lambda: run_variant("bmask", 256, ghost=64,

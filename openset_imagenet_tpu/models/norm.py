@@ -45,7 +45,7 @@ class BNAffine(nn.Module):
     ``__call__(mean, var)`` (train) updates the running statistics and
     returns ``(mul, add)`` with ``mul = scale/sqrt(var+eps)`` and
     ``add = bias - mean*mul`` — the same fold as ``SubsetBatchNorm``
-    lines 80-83.  ``__call__()`` (eval) folds the running statistics.
+    below.  ``__call__()`` (eval) folds the running statistics.
     """
 
     features: int

@@ -33,6 +33,11 @@ from jax.ad_checkpoint import checkpoint_name
 
 ModuleDef = Any
 
+# Batch-norm hyperparameters (reference torchvision defaults); single
+# source for both the unfused norm partials and the fused-block BNAffine.
+BN_MOMENTUM = 0.9
+BN_EPSILON = 1e-5
+
 # Kaiming-normal fan-out (matches torch's conv init for ResNets).
 conv_kernel_init = nn.initializers.variance_scaling(
     2.0, mode="fan_out", distribution="truncated_normal")
@@ -185,8 +190,8 @@ class Bottleneck(nn.Module):
     fused: bool = False
     train: bool = True
     stats_rows: int = 0
-    bn_momentum: float = 0.9
-    bn_epsilon: float = 1e-5
+    bn_momentum: float = BN_MOMENTUM
+    bn_epsilon: float = BN_EPSILON
     # Save the boundary ReLU gate as int8 (see BasicBlock.boundary_mask).
     boundary_mask: bool = False
 
@@ -357,13 +362,13 @@ class ResNet50(nn.Module):
         if self.bn_stats_rows > 0:
             from .norm import SubsetBatchNorm
             norm = partial(SubsetBatchNorm, use_running_average=not train,
-                           momentum=0.9, epsilon=1e-5, dtype=self.dtype,
-                           param_dtype=jnp.float32,
+                           momentum=BN_MOMENTUM, epsilon=BN_EPSILON,
+                           dtype=self.dtype, param_dtype=jnp.float32,
                            stats_rows=self.bn_stats_rows)
         else:
             norm = partial(nn.BatchNorm, use_running_average=not train,
-                           momentum=0.9, epsilon=1e-5, dtype=self.dtype,
-                           param_dtype=jnp.float32)
+                           momentum=BN_MOMENTUM, epsilon=BN_EPSILON,
+                           dtype=self.dtype, param_dtype=jnp.float32)
         x = x.astype(self.dtype)
         if self.space_to_depth:
             x = SpaceToDepthStem(features=self.width, dtype=self.dtype,
@@ -387,7 +392,9 @@ class ResNet50(nn.Module):
                 raise ValueError("fused_blocks requires Bottleneck variants"
                                  " (resnet50/101/152)")
             block_kwargs.update(fused=True, train=train,
-                                stats_rows=self.bn_stats_rows)
+                                stats_rows=self.bn_stats_rows,
+                                bn_momentum=BN_MOMENTUM,
+                                bn_epsilon=BN_EPSILON)
         if self.boundary_mask:
             block_kwargs["boundary_mask"] = True
         mode = {False: "none", None: "none", True: "blocks"}.get(

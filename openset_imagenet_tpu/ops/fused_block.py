@@ -30,8 +30,8 @@ BN statistics gradients follow from ``mul = scale/sqrt(var+eps)``,
 ``add = bias - mean*mul`` by the outer (autodiff'd) scalar graph.
 
 Numerical layout matches the unfused model: bf16 elementwise affine/ReLU
-(as ``models/norm.py:79-84``), bf16 MXU matmuls with f32 accumulation,
-f32 parameter/statistics gradients.
+(as ``SubsetBatchNorm``'s fold in ``models/norm.py``), bf16 MXU matmuls
+with f32 accumulation, f32 parameter/statistics gradients.
 """
 
 from __future__ import annotations
@@ -76,15 +76,12 @@ def _mar_bwd(mask, g):
 masked_add_relu.defvjp(_mar_fwd, _mar_bwd)
 
 
-def _on_tpu() -> bool:
-    return jax.default_backend() == "tpu"
-
-
 def ghost_stats(zs: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Mean/variance over all axes but the channel one.
 
-    Identical formula to ``models/norm.py:66-72`` (fast variance,
-    clamped at zero), on a leading-rows slice of the activation.
+    Identical formula to ``SubsetBatchNorm``'s statistics block in
+    ``models/norm.py`` (fast variance, clamped at zero), on a
+    leading-rows slice of the activation.
     """
     zs = zs.astype(jnp.float32)
     axes = tuple(range(zs.ndim - 1))
@@ -368,7 +365,8 @@ def _conv3x3(xa, w, stride):
 
 
 def _affine(z, mul, add):
-    # bf16 elementwise affine, bit-matching models/norm.py:79-84.
+    # bf16 elementwise affine, bit-matching SubsetBatchNorm's fold in
+    # models/norm.py.
     return z * mul.astype(z.dtype) + add.astype(z.dtype)
 
 
@@ -477,10 +475,7 @@ def _make_block_op(stride: int, downsample: bool, use_pallas: bool,
             return fwd_math(x0, w1, w2, w3, mul1, add1, mul2, add2,
                             mul3, add3)[0]
 
-        def fwd_id(x0, w1, w2, w3, mul1, add1, mul2, add2, mul3, add3):
-            return fwd(x0, w1, w2, w3, mul1, add1, mul2, add2, mul3, add3)
-
-        op.defvjp(fwd_id, bwd)
+        op.defvjp(fwd, bwd)
     return op
 
 
@@ -501,8 +496,11 @@ def bottleneck_fused(x0, w1, w2, w3, mul1, add1, mul2, add2, mul3, add3,
         # OSI_FUSED_BLOCK_BWD: jnp (default) | pallas.  The jnp backward
         # has identical math/dataflow and XLA's fusion emitters stream it
         # ~3x faster than Mosaic on the current toolchain (BENCH.md
-        # round-2b study); the Pallas form is the opt-in experiment.
-        use_pallas = os.environ.get("OSI_FUSED_BLOCK_BWD", "jnp") == "pallas"
+        # round-2b study); the Pallas form is the opt-in, SINGLE-DEVICE
+        # experiment (pallas_call has no GSPMD partitioning rule, so it
+        # must not be auto-selected under a multi-device mesh).
+        use_pallas = (os.environ.get("OSI_FUSED_BLOCK_BWD", "jnp")
+                      == "pallas" and jax.device_count() == 1)
     op = _make_block_op(stride, wd is not None, bool(use_pallas),
                         bool(interpret))
     if wd is None:
