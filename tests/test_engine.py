@@ -9,6 +9,7 @@ multi-device gradient identity.
 
 import csv
 import itertools
+import time
 from pathlib import Path
 
 import jax
@@ -104,6 +105,76 @@ def test_worker_resume(tmp_path):
     assert info["last_epoch"] == 1  # resumed at epoch 1, trained one more
     meta = read_metadata(curr)
     assert meta["epoch"] == 2
+
+
+def test_resume_is_equivalent_to_uninterrupted(tmp_path):
+    """1 epoch + resume(1 epoch) == 2 straight epochs, parameter-exact.
+
+    This is the payoff of the counter-based Philox augmentation RNG keyed
+    by (seed, epoch, sample) and of checkpointing the full optimizer
+    state: a preempted-and-resumed run retraces the uninterrupted one.
+    """
+    write_protocol_csvs(tmp_path)
+    cfg = tiny_cfg(tmp_path, "entropic", epochs=2)
+    cfg.output_directory = Path(tmp_path / "straight")
+    engine.worker(cfg)
+
+    cfg1 = tiny_cfg(tmp_path, "entropic", epochs=1)
+    cfg1.output_directory = Path(tmp_path / "resumed")
+    engine.worker(cfg1)
+    cfg2 = tiny_cfg(tmp_path, "entropic", epochs=2)
+    cfg2.output_directory = Path(tmp_path / "resumed")
+    cfg2.checkpoint = str(Path(cfg2.output_directory) / "entropic_curr.pth")
+    engine.worker(cfg2)
+
+    from flax import serialization
+
+    def read_params(path):
+        with open(path, "rb") as f:
+            return serialization.msgpack_restore(f.read())[
+                "model_state_dict"]
+
+    a = read_params(Path(tmp_path / "straight") / "entropic_curr.pth")
+    b = read_params(Path(tmp_path / "resumed") / "entropic_curr.pth")
+    leaves_a = jax.tree.leaves(a)
+    leaves_b = jax.tree.leaves(b)
+    assert len(leaves_a) == len(leaves_b)
+    for x, y in zip(leaves_a, leaves_b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_sigterm_preemption_checkpoints_and_exits(tmp_path):
+    """SIGTERM mid-run finishes the epoch, checkpoints, exits resumable."""
+    import os
+    import signal
+    import threading
+
+    write_protocol_csvs(tmp_path)
+    cfg = tiny_cfg(tmp_path, "entropic", epochs=50)
+    curr = Path(cfg.output_directory) / "entropic_curr.pth"
+
+    def fire_when_started():
+        # Wait for the first epoch's checkpoint, then request shutdown.
+        for _ in range(600):
+            if curr.exists():
+                break
+            time.sleep(0.1)
+        os.kill(os.getpid(), signal.SIGTERM)
+
+    t = threading.Thread(target=fire_when_started, daemon=True)
+    t.start()
+    info = engine.worker(cfg)
+    t.join(timeout=60)
+    assert curr.exists()
+    meta = read_metadata(curr)
+    # Stopped long before the 50 requested epochs, at an epoch boundary.
+    assert 1 <= meta["epoch"] < 50
+    assert info["last_epoch"] < 50
+    # And the run is resumable from that checkpoint.
+    cfg2 = tiny_cfg(tmp_path, "entropic", epochs=meta["epoch"] + 1)
+    cfg2.checkpoint = str(curr)
+    engine.worker(cfg2)
+    assert read_metadata(curr)["epoch"] == meta["epoch"] + 1
 
 
 def test_worker_finetune_resets_best(tmp_path):

@@ -336,6 +336,27 @@ def test_boundary_mask_model_grads_match():
                                    rtol=1e-6, atol=1e-6)
 
 
+def test_worker_end_to_end_fused_and_masked(tmp_path):
+    """Full engine worker with model.fused_blocks + boundary_mask on.
+
+    The config-driven regression form of the round-2b verify drive: train
+    2 epochs through the fused-backward Bottleneck network, checkpoints
+    and scalars land, the score is finite.
+    """
+    from openset_imagenet_tpu import train as engine
+    from tests.test_engine import tiny_cfg, write_protocol_csvs
+
+    write_protocol_csvs(tmp_path)
+    cfg = tiny_cfg(tmp_path, "entropic")
+    cfg.model = type(cfg.model)({"variant": "tiny50", "bn_stats_rows": 2,
+                                 "fused_blocks": True,
+                                 "boundary_mask": True})
+    info = engine.worker(cfg)
+    out = cfg.output_directory
+    assert (out / "entropic_curr.pth").exists()
+    assert np.isfinite(info["best_score"])
+
+
 def test_fused_train_requires_ghost_rows():
     blk = Bottleneck(filters=2, strides=1, dtype=jnp.float32, fused=True,
                      train=True, stats_rows=0)
