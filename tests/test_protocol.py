@@ -125,6 +125,30 @@ def test_protocol1_labels_and_split(fake_tree, tmp_path):
     assert ds.label_count == 7  # 6 knowns + the -1 negative label
 
 
+def test_protocol_generation_is_deterministic_golden(fake_tree, tmp_path):
+    """Committed golden hash: class selection + seed-42 split regression.
+
+    Any change to the hierarchy traversal, class selection rules, label
+    assignment, or stratified-split mechanics changes this digest.  (The
+    real-metadata equivalent runs when OSI_IMAGENET_METADATA is set; this
+    locks determinism on the synthetic tree everywhere.)
+    """
+    import hashlib
+
+    root, meta, supers, leaves = fake_tree
+    digest = hashlib.sha256()
+    for proto in (1, 2, 3):
+        p = OpenSetProtocol(root, meta, proto)
+        p.create_dataset(random_state=42)
+        digest.update(repr((proto, p.kn_classes, p.neg_classes,
+                            p.unk_classes)).encode())
+        for split in ("train", "val", "test"):
+            for path, label in p.data[split]:
+                digest.update(f"{proto}/{split}/{path}/{label}".encode())
+    assert digest.hexdigest() == (
+        "43d3903d86cfb1ead1c7353af4ce7c42b1e742734488c6c0760de58829a47322")
+
+
 def test_protocol2_half_split(fake_tree):
     root, meta, supers, leaves = fake_tree
     p = OpenSetProtocol(root, meta, 2)
