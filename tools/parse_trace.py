@@ -4,6 +4,9 @@ with the step's optimized HLO for exact per-category attribution.
 Usage:
   python tools/parse_trace.py <trace_dir> [top_n]
   python tools/parse_trace.py <trace_dir> [top_n] --hlo <hlo_dump.txt>
+  python tools/parse_trace.py <trace_dir> [top_n] --hlo <...> --buckets
+      (adds direction x kind and stage x direction x kind attribution,
+       the tables behind BENCH.md's round-2 analysis)
 
 The trace is the ``*.trace.json.gz`` perfetto export inside a profile
 directory (``jax.profiler.trace``); the HLO dump comes from
@@ -86,6 +89,56 @@ def classify_body(body: str) -> str:
     return "elementwise/other"
 
 
+def bucket_tables(dur, n_steps, hlo, inst_to_comp, bodies):
+    """Attribute device time by (direction x kind) and (stage x ...).
+
+    Direction comes from the op_name metadata (``transpose(jvp`` = bwd),
+    stage from the module path, kind from the fused computation's content
+    (conv window size distinguishes pointwise / 3x3 / weight-grad convs).
+    """
+    inst_meta = {}
+    for m in re.finditer(r"%([\w.\-]+) = [^\n]*?op_name=\"([^\"]+)\"", hlo):
+        inst_meta.setdefault(m.group(1), m.group(2))
+
+    def bucket(name):
+        meta = inst_meta.get(name, "")
+        body = bodies.get(inst_to_comp.get(name, ""), "")
+        direction = ("bwd" if "transpose(jvp" in meta
+                     else ("fwd" if "jvp" in meta else "opt/other"))
+        m = re.search(r"stage(\d)", meta)
+        stage = f"stage{m.group(1)}" if m else "stem/other"
+        if "convolution" in body:
+            kinds = re.findall(r"convolution\(.*?window=\{size=(\S+?)[ }]",
+                               body)
+            kind = "conv[" + ",".join(sorted(set(kinds))) + "]"
+        elif "select-and-scatter" in body or "select_and_scatter" in name:
+            kind = "maxpool_bwd"
+        elif "reduce-window" in body:
+            kind = "pool"
+        elif "reduce(" in body:
+            kind = "reduce"
+        elif name.startswith(("copy", "slice", "bitcast", "reshape")):
+            kind = "copy"
+        else:
+            kind = "elementwise"
+        return direction, stage, kind
+
+    by_dir_kind = defaultdict(float)
+    by_stage = defaultdict(float)
+    for name, d in dur.items():
+        dr, st, kd = bucket(name)
+        by_dir_kind[(dr, kd)] += d
+        by_stage[(st, dr, kd)] += d
+    total = sum(dur.values())
+    print("== direction x kind ==")
+    for k, v in sorted(by_dir_kind.items(), key=lambda kv: -kv[1]):
+        print(f"{v / n_steps / 1e3:8.2f} ms {100 * v / total:5.1f}%  {k}")
+    print("\n== stage x direction x kind (top 25) ==")
+    for k, v in sorted(by_stage.items(), key=lambda kv: -kv[1])[:25]:
+        print(f"{v / n_steps / 1e3:8.2f} ms {100 * v / total:5.1f}%  {k}")
+    print()
+
+
 def main(argv):
     root = argv[0] if argv else "/tmp/osi_trace"
     top_n = int(argv[1]) if len(argv) > 1 and argv[1].isdigit() else 30
@@ -117,6 +170,8 @@ def main(argv):
             print(f"{v / n_steps / 1e3:8.2f} ms/step  "
                   f"{100 * v / total:5.1f}%  {k}")
         print()
+        if "--buckets" in argv:
+            bucket_tables(dur, n_steps, hlo, inst_to_comp, bodies)
 
     print(f"== top {top_n} instances ==")
     for k, v in sorted(dur.items(), key=lambda kv: -kv[1])[:top_n]:
