@@ -407,6 +407,15 @@ def get_arrays(state: TrainState, pipeline: InputPipeline,
         logits.append(fetch(lg)[keep])
         feats.append(fetch(ft)[keep])
         scores.append(fetch(sc)[keep])
+    if not targets:
+        # Empty split: return empty arrays like the reference's
+        # torch.empty(0, ...) accumulators (train.py:200-234).
+        n_out = state.params["logits"]["kernel"].shape[1]
+        n_feat = state.params["fc"]["kernel"].shape[1]
+        return (np.zeros((0,), np.float32),
+                np.zeros((0, n_out), np.float32),
+                np.zeros((0, n_feat), np.float32),
+                np.zeros((0, n_out), np.float32))
     return (np.concatenate(targets).astype(np.float32),
             np.concatenate(logits), np.concatenate(feats),
             np.concatenate(scores))
@@ -596,8 +605,9 @@ def worker(cfg) -> dict:
         train_step = make_train_step(loss_fn, mesh)
     eval_step = make_eval_step(loss_fn, cfg.loss.type, n_classes, mesh)
 
-    early_stopping = (EarlyStopping(patience=cfg.patience)
-                      if getattr(cfg, "patience", 0) > 0 else None)
+    patience = int(getattr(cfg, "patience", 0) or 0)
+    early_stopping = (EarlyStopping(patience=patience)
+                      if patience > 0 else None)
     t_metrics = defaultdict(AverageMeter)
     v_metrics = defaultdict(AverageMeter)
 
@@ -624,8 +634,9 @@ def worker(cfg) -> dict:
     # viewable in TensorBoard or Perfetto.
     profile_cfg = getattr(cfg, "profile", None)
     profile_dir = getattr(profile_cfg, "dir", None) if profile_cfg else None
-    profile_epochs = set(getattr(profile_cfg, "epochs", [start_epoch])
-                         if profile_cfg else [])
+    profile_epochs = set(
+        (getattr(profile_cfg, "epochs", None) or [start_epoch])
+        if profile_cfg else [])
 
     epoch = start_epoch - 1
     shutdown = GracefulShutdown()
@@ -636,12 +647,18 @@ def worker(cfg) -> dict:
             profiling = profile_dir is not None and epoch in profile_epochs
             if profiling:
                 jax.profiler.start_trace(str(profile_dir))
-            state = train_epoch(state, train_pipe, epoch, train_step, t_metrics,
-                                progress=not getattr(cfg, "parallel", False))
-            if profiling:
-                jax.profiler.stop_trace()
-                log.info(f"Profiler trace for epoch {epoch} written to "
-                         f"{profile_dir}")
+            try:
+                state = train_epoch(state, train_pipe, epoch, train_step,
+                                    t_metrics,
+                                    progress=not getattr(cfg, "parallel",
+                                                         False))
+            finally:
+                # Stop even when a step raises: an unterminated trace is
+                # lost AND poisons any later start_trace in this process.
+                if profiling:
+                    jax.profiler.stop_trace()
+                    log.info(f"Profiler trace for epoch {epoch} written "
+                             f"to {profile_dir}")
             train_time = time.time() - epoch_time
 
             validate(state, val_pipe, epoch, eval_step, v_metrics)
@@ -677,7 +694,16 @@ def worker(cfg) -> dict:
                     log.info("early stop")
                     break
 
-            if shutdown.requested:
+            stop = shutdown.requested
+            if jax.process_count() > 1:
+                # Preemption signals may reach only some hosts (or land
+                # while hosts straddle the boundary); agree on the flag
+                # collectively so every process breaks at the SAME epoch
+                # instead of deadlocking the others in a collective.
+                from jax.experimental import multihost_utils
+                stop = bool(np.max(multihost_utils.process_allgather(
+                    np.int32(stop))))
+            if stop:
                 log.info(f"shutdown requested; stopped cleanly after epoch "
                          f"{epoch} (resume from {cfg.name}_curr.pth)")
                 break

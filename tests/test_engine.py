@@ -275,6 +275,25 @@ def test_multi_device_step_matches_single_device():
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
 
 
+def test_get_arrays_empty_split_returns_empty_arrays():
+    """Reference parity: an empty split yields empty arrays, not a crash."""
+    model = build_resnet("tiny", fc_layer_dim=4, out_features=4,
+                         dtype=jnp.float32)
+    tx = engine.build_optimizer(
+        NameSpace({"type": "adam", "lr": 1e-3, "decay": 0, "gamma": 1}), 1)
+    state = engine.create_state(model, jax.random.PRNGKey(0), tx,
+                                image_size=32)
+
+    class _EmptyPipe:
+        def epoch(self, _):
+            return iter(())
+
+    t, lg, ft, sc = engine.get_arrays(state, _EmptyPipe(), mesh=None,
+                                      gather=False)
+    assert t.shape == (0,)
+    assert lg.shape == (0, 4) and sc.shape == (0, 4) and ft.shape == (0, 4)
+
+
 def test_get_arrays_allgather_path_matches_direct():
     """The multi-host gather path (process_allgather) equals the direct
     path on a sharded 8-device pipeline (single-process degenerate case).
