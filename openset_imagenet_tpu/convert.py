@@ -46,6 +46,11 @@ def _dense_kernel(t: np.ndarray) -> np.ndarray:
     return np.transpose(t, (1, 0))
 
 
+# flax BN variable names -> torch BatchNorm state-dict suffixes.
+_BN_STAT = {"scale": "weight", "bias": "bias",
+            "mean": "running_mean", "var": "running_var"}
+
+
 def _torch_key(flax_path) -> str:
     """Torch state-dict key for one flax parameter path."""
     parts = list(flax_path)
@@ -53,9 +58,7 @@ def _torch_key(flax_path) -> str:
     if parts[0] == "conv_init":
         return "resnet_base.conv1.weight"
     if parts[0] == "bn_init":
-        stat = {"scale": "weight", "bias": "bias",
-                "mean": "running_mean", "var": "running_var"}[leaf]
-        return f"resnet_base.bn1.{stat}"
+        return f"resnet_base.bn1.{_BN_STAT[leaf]}"
     if parts[0] in ("fc", "logits"):
         prefix = "resnet_base.fc" if parts[0] == "fc" else "logits"
         return f"{prefix}.{'weight' if leaf == 'kernel' else 'bias'}"
@@ -68,13 +71,9 @@ def _torch_key(flax_path) -> str:
         elif mod == "downsample_conv":
             sub = "downsample.0.weight"
         elif mod == "downsample_bn":
-            stat = {"scale": "weight", "bias": "bias",
-                    "mean": "running_mean", "var": "running_var"}[leaf]
-            sub = f"downsample.1.{stat}"
+            sub = f"downsample.1.{_BN_STAT[leaf]}"
         elif mod.startswith("bn"):
-            stat = {"scale": "weight", "bias": "bias",
-                    "mean": "running_mean", "var": "running_var"}[leaf]
-            sub = f"{mod}.{stat}"
+            sub = f"{mod}.{_BN_STAT[leaf]}"
         else:
             raise KeyError(f"unmapped flax module {flax_path}")
         return f"resnet_base.layer{stage}.{block}.{sub}"
@@ -155,8 +154,18 @@ def variables_to_torch_state_dict(variables) -> Dict[str, np.ndarray]:
     return out
 
 
-def save_reference_checkpoint(path, state, epoch: int, best_score: float):
-    """Write a torch ``.pth`` the reference implementation can load."""
+def save_reference_checkpoint(path, state, epoch: int, best_score: float,
+                              lr: float = 1e-3):
+    """Write a torch ``.pth`` the reference implementation can load.
+
+    Both of the reference's load paths work: evaluation (weights only) and
+    ``--continue-training`` resume — torch's ``Optimizer.load_state_dict``
+    needs a structurally valid ``opt_state_dict`` (one param group covering
+    every trainable tensor; empty per-param state restarts Adam moments),
+    not the empty dict (which raises ``KeyError('param_groups')``).
+    ``lr`` seeds the exported param group (reference default
+    ``config/train.yaml`` Adam 1e-3).
+    """
     import torch
 
     # .copy(): jax buffers surface as non-writable numpy views, which torch
@@ -165,8 +174,17 @@ def save_reference_checkpoint(path, state, epoch: int, best_score: float):
              variables_to_torch_state_dict(
                  {"params": state.params,
                   "batch_stats": state.batch_stats}).items()}
+    n_trainable = sum(1 for k in tdict
+                      if not k.endswith(("running_mean", "running_var",
+                                         "num_batches_tracked")))
+    opt_state = {"state": {},
+                 "param_groups": [{"params": list(range(n_trainable)),
+                                   "lr": float(lr), "betas": (0.9, 0.999),
+                                   "eps": 1e-8, "weight_decay": 0,
+                                   "amsgrad": False}]}
     torch.save({"model_state_dict": tdict, "epoch": int(epoch) + 1,
-                "opt_state_dict": {}, "best_score": float(best_score)},
+                "opt_state_dict": opt_state,
+                "best_score": float(best_score)},
                path)
 
 

@@ -60,6 +60,9 @@ class OpenSetPredictor:
         self._forward = engine.make_forward_step(None)
         self.image_size = image_size
         self.threshold = float(threshold)
+        if mode not in ("softmax", "objectosphere"):
+            raise ValueError(f"unknown rejection mode {mode!r}; choose "
+                             "'softmax' or 'objectosphere'")
         self.mode = mode
         self.has_background = has_background
         self._reader = None
@@ -77,6 +80,9 @@ class OpenSetPredictor:
                 NameSpace({"data": {"reader": "auto"}, "seed": 0}),
                 crop=self.image_size)
         paths = list(inputs)
+        if not paths:
+            return np.zeros((0, self.image_size, self.image_size, 3),
+                            np.uint8)
         if hasattr(self._reader, "read_batch"):
             return self._reader.read_batch(paths, [None] * len(paths))
         return np.stack([self._reader(p, None) for p in paths])

@@ -106,6 +106,7 @@ class OpenSetProtocol:
         self.kn_classes: List[str] = []
         self.neg_classes: List[str] = []
         self.unk_classes: List[str] = []
+        self._neg_set = None
         self.label_map: Dict[str, int] = {}
 
     # -- class-set construction (reference protocol.py:125-168) ------------
@@ -166,7 +167,12 @@ class OpenSetProtocol:
         """0..N-1 for knowns, -1 negatives, -2 unknowns."""
         if class_name in self.label_map:
             return self.label_map[class_name]
-        if class_name in self.neg_classes:
+        # O(1) set membership: called once per image over ~hundreds of
+        # thousands of images (the list scan was the builder's hot spot).
+        if self._neg_set is None or len(self._neg_set) != len(
+                self.neg_classes):
+            self._neg_set = frozenset(self.neg_classes)
+        if class_name in self._neg_set:
             return -1
         return -2
 
