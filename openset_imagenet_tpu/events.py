@@ -96,7 +96,11 @@ def read_scalars(log_dir, suffix_filter: str = "") -> dict:
             from tensorboard.backend.event_processing.event_accumulator \
                 import EventAccumulator
             for path in event_files:
-                acc = EventAccumulator(str(path))
+                # scalars: 0 = unlimited history (reference
+                # script/plot_all.py passes the same size_guidance; the
+                # default caps at 10k points/tag and reservoir-subsamples).
+                acc = EventAccumulator(str(path),
+                                       size_guidance={"scalars": 0})
                 acc.Reload()
                 for tag in acc.Tags().get("scalars", []):
                     for e in acc.Scalars(tag):

@@ -115,8 +115,12 @@ def calculate_oscr_jax(gt, scores, unk_label: int = -1,
     # Threshold set: sorted known true-class scores (padding rows pushed to
     # +inf so they never enter the finite prefix).
     taus_all = jnp.sort(jnp.where(kn, target_score, jnp.inf))
+    n_kn_rows = jnp.sum(kn)
     if num_thresholds and num_thresholds > 0:
-        idx = jnp.linspace(0, scores.shape[0] - 1, num_thresholds)
+        # Quantiles over the FINITE prefix only (its length is dynamic):
+        # fractions of [0, n_kn_rows-1], not of the padded array.
+        frac = jnp.linspace(0.0, 1.0, num_thresholds)
+        idx = jnp.round(frac * jnp.maximum(n_kn_rows - 1, 0))
         taus = taus_all[idx.astype(jnp.int32)]
     else:
         taus = taus_all
@@ -126,10 +130,14 @@ def calculate_oscr_jax(gt, scores, unk_label: int = -1,
     n_correct = jnp.sum(pred_ok)
     n_unk = jnp.sum(unk)
 
-    ccr = (n_correct - jnp.searchsorted(correct, taus, side="right")
-           ).astype(jnp.float32) / total_kn
-    fpr = (n_unk - jnp.searchsorted(unk_max, taus, side="right")
-           ).astype(jnp.float32) / total_unk
+    # Clamp searchsorted to the finite prefix: at tau == +inf (the padding
+    # sentinel) side="right" would also count the +inf padding entries and
+    # drive the counts negative.
+    cs = jnp.minimum(jnp.searchsorted(correct, taus, side="right"),
+                     n_correct)
+    us = jnp.minimum(jnp.searchsorted(unk_max, taus, side="right"), n_unk)
+    ccr = (n_correct - cs).astype(jnp.float32) / total_kn
+    fpr = (n_unk - us).astype(jnp.float32) / total_unk
     return ccr, fpr, taus
 
 

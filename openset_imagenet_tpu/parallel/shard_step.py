@@ -38,7 +38,8 @@ def make_train_step_shard_map(loss_fn: Callable, mesh,
     from jax import shard_map  # public API (jax>=0.6); was jax.experimental
 
     def per_device(state, images, labels, mask):
-        imgs = images.astype(jnp.float32) * (1.0 / 255.0)
+        from ..train import _to_float  # one source of ToTensor parity
+        imgs = _to_float(images)
 
         def local_loss_sum(params):
             (logits, _), mutated = state.apply_fn(

@@ -211,6 +211,11 @@ def softmax_figure(scores, protocols, loss_functions, labels, bins=30,
     edge_kn = mcolors.to_rgba("tab:blue", 1)
     fill_kn = mcolors.to_rgba("tab:blue", 0.04)
 
+    # Panel order is protocol-outer over a (losses x protocols)
+    # gridspec — for len(protocols) != len(loss_functions) the panels do
+    # not align with grid rows/columns.  This reproduces the reference's
+    # own layout (plot_all.py:295-317) exactly, including that quirk;
+    # every panel is individually titled either way.
     idx = 0
     for protocol in protocols:
         for l, loss in enumerate(loss_functions):

@@ -112,6 +112,25 @@ def test_on_device_oscr_subsampled_thresholds():
     assert np.all(np.diff(np.asarray(fpr)) <= 1e-12)  # FPR non-increasing
 
 
+def test_on_device_oscr_padding_thresholds_stay_in_range():
+    """The +inf padding thresholds (non-known rows) must clamp, not go
+    negative — and quantile subsampling must draw from the finite prefix
+    only (regression for a searchsorted-past-the-prefix bug)."""
+    from openset_imagenet_tpu.ops.oscr import calculate_oscr_jax
+
+    gt = np.array([0, 1, 2, 3, 4, -1, -1, 0, 1, 2, -1, 3], np.int32)
+    rng = np.random.default_rng(7)
+    scores = rng.dirichlet(np.ones(5), size=len(gt))
+    for k in (0, 8, 16):
+        ccr, fpr, taus = calculate_oscr_jax(gt, scores, unk_label=-1,
+                                            num_thresholds=k)
+        ccr, fpr, taus = map(np.asarray, (ccr, fpr, taus))
+        assert np.all(ccr >= 0) and np.all(ccr <= 1), (k, ccr)
+        assert np.all(fpr >= 0) and np.all(fpr <= 1), (k, fpr)
+        if k:
+            assert np.all(np.isfinite(taus)), (k, taus)
+
+
 def test_zero_unknowns_fpr_defined_zero_and_table_dashes():
     """Documented divergence (ops/oscr.py): with zero unknown samples the
     reference computes FPR = 0/0 = NaN (util.py:118); here FPR is 0.  The
