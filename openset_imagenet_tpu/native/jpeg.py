@@ -27,9 +27,18 @@ _lib_error: Optional[str] = None
 
 
 def _build_library() -> Path:
+    # Compile to a process-unique temp name + atomic rename: concurrent
+    # processes (sweep children, train+evaluate) may race on the first
+    # build, and `g++ -o` writes the output non-atomically — a reader
+    # dlopen'ing a half-written .so would silently degrade to PIL.
+    tmp = _LIB_PATH.with_suffix(f".{os.getpid()}.tmp")
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-           str(_SRC), "-o", str(_LIB_PATH), "-ljpeg"]
-    subprocess.run(cmd, check=True, capture_output=True)
+           str(_SRC), "-o", str(tmp), "-ljpeg"]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+        os.replace(tmp, _LIB_PATH)
+    finally:
+        tmp.unlink(missing_ok=True)
     return _LIB_PATH
 
 
@@ -181,6 +190,9 @@ class NativeBatchReader:
 
     def __init__(self, crop: int = 224, resize: int = 256,
                  threads: Optional[int] = None):
+        if crop > resize:
+            raise ValueError(f"crop {crop} exceeds shorter-side resize "
+                             f"{resize}")
         self.crop = crop
         self.resize = resize
         self.threads = threads
@@ -221,6 +233,9 @@ class NativeReader:
     """
 
     def __init__(self, crop: int = 224, resize: int = 256):
+        if crop > resize:
+            raise ValueError(f"crop {crop} exceeds shorter-side resize "
+                             f"{resize}")
         self.crop = crop
         self.resize = resize
         from ..pipeline import PILReader

@@ -54,6 +54,10 @@ class PILReader:
     """
 
     def __init__(self, crop: int = 224, resize: int = 256):
+        if crop > resize:
+            raise ValueError(f"crop {crop} exceeds shorter-side resize "
+                             f"{resize}; the crop window must fit the "
+                             "resized image")
         self.crop = crop
         self.resize = resize
 

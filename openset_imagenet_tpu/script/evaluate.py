@@ -51,7 +51,8 @@ def get_args(argv=None):
     args = parser.parse_args(argv)
     try:
         args.output_directory = args.output_directory.format(args.protocol)
-    except (IndexError, KeyError):
+    except (IndexError, KeyError, ValueError):
+        # Not a format template (stray/unmatched braces): use literally.
         pass
     return args
 

@@ -113,7 +113,11 @@ def load_scores(args):
                         call += ["-g", str(args.gpu)]
                     if args.use_best:
                         call += ["-b"]
-                    subprocess.call(call)
+                    rc = subprocess.call(call)
+                    if rc != 0:
+                        raise RuntimeError(
+                            "score extraction failed (exit code "
+                            f"{rc}): {' '.join(call)}")
                 scores[protocol][loss] = read_array_list(score_files)
                 meta = read_metadata(checkpoint_file)
                 epoch[protocol][loss] = (meta["epoch"], meta["best_score"])

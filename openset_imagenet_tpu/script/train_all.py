@@ -51,7 +51,10 @@ def get_args(argv=None):
     parser.add_argument("--continue-training", "-c", action="store_true",
                         help="Resume runs whose _curr checkpoint exists")
     parser.add_argument("--dry-run", action="store_true",
-                        help="Print the run commands without executing")
+                        help="Materialize the per-run configs and print "
+                             "the run commands without executing (per-run "
+                             "YAMLs are regenerated from the base config "
+                             "on every launch, dry or real)")
     args = parser.parse_args(argv)
     args.parallel = args.gpus is not None and len(args.gpus) > 1
     return args

@@ -425,11 +425,22 @@ def get_arrays(state: TrainState, pipeline: InputPipeline,
 # Worker: full single-run orchestration (reference train.py:237-482)
 # --------------------------------------------------------------------------
 
+def _resize_for_crop(crop: int) -> int:
+    """Shorter-side resize for a crop size.
+
+    Reference pair: Resize(256) -> Crop(224) (``train.py:259-268``); kept
+    verbatim for every crop <= 256 (backward compatible) and scaled by the
+    same 256/224 ratio beyond it so the crop window never exceeds the
+    resized image (which would pad/replicate borders)."""
+    return max(256, round(crop * 256 / 224))
+
+
 def _make_reader(cfg, crop: int = 224):
     """Reader per ``cfg.data.reader``: auto (default) | native | pil |
     synthetic.  ``auto`` prefers the native fused libjpeg path
     (:mod:`openset_imagenet_tpu.native.jpeg`) and falls back to PIL."""
     kind = getattr(cfg.data, "reader", "auto") or "auto"
+    resize = _resize_for_crop(crop)
     if kind == "synthetic":
         return SyntheticReader(crop=crop, seed=int(cfg.seed))
     if kind in ("auto", "native", "native_batch"):
@@ -439,12 +450,13 @@ def _make_reader(cfg, crop: int = 224):
             # Batch mode: one GIL-free C++ thread-pool call per batch.
             if kind in ("auto", "native_batch"):
                 workers = int(getattr(cfg, "workers", 4) or 4)
-                return NativeBatchReader(crop=crop, threads=workers)
-            return NativeReader(crop=crop)
+                return NativeBatchReader(crop=crop, resize=resize,
+                                         threads=workers)
+            return NativeReader(crop=crop, resize=resize)
         if kind != "auto":
             raise RuntimeError("native reader requested but the osijpeg "
                                "library could not be built")
-    return PILReader(crop=crop)
+    return PILReader(crop=crop, resize=resize)
 
 
 def build_model(cfg, n_classes: int) -> ResNet50:
