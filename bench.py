@@ -87,7 +87,12 @@ def run(batch_size_per_chip: int, steps: int = 25, warmup: int = 5,
         t0 = time.perf_counter()
         for _ in range(steps):
             state, m = step(state, *batch)
-        assert np.isfinite(float(m["loss_sum"]))  # forces full drain
+        # The float() fetch is the ONLY sync point (block_until_ready is a
+        # no-op through the tunnel) — it must not live inside an assert,
+        # which python -O would strip, unsyncing the timing.
+        loss = float(m["loss_sum"])
+        if not np.isfinite(loss):
+            raise RuntimeError(f"non-finite loss in bench step: {loss}")
         rates.append(global_batch * steps / (time.perf_counter() - t0))
     return float(np.median(rates))
 
@@ -100,13 +105,15 @@ def main():
             imgs_per_sec = run(batch_size)
             break
         except Exception as e:  # OOM etc: retry smaller
-            last_err = e
+            # Keep only the message: the exception's traceback would pin
+            # the failed attempt's device buffers across the retry.
+            last_err = str(e)
             continue
     else:
         print(json.dumps({"metric": "resnet50_train_throughput",
                           "value": 0.0, "unit": "imgs/sec/chip",
                           "vs_baseline": 0.0,
-                          "error": str(last_err)[:200]}))
+                          "error": (last_err or "")[:200]}))
         return 1
 
     per_chip = imgs_per_sec / n_chips

@@ -9,7 +9,6 @@ Prints one JSON line per reader; not the driver headline bench (that is
 ``bench.py``).
 """
 
-import io
 import json
 import sys
 import tempfile

@@ -120,8 +120,11 @@ def load_weights_any_format(checkpoint, state, model, image_size: int = 224):
             from .convert import load_reference_checkpoint
             variables, epoch, best = load_reference_checkpoint(
                 checkpoint, model, image_size=image_size)
-        except Exception:
-            raise msgpack_err
+        except Exception as convert_err:
+            # Chain both: the msgpack error for native-format files, with
+            # the torch-conversion error (e.g. a variant/shape mismatch on
+            # a genuine reference .pth) visible as the cause.
+            raise msgpack_err from convert_err
         return (state.replace(params=variables["params"],
                               batch_stats=variables["batch_stats"]),
                 epoch, best)

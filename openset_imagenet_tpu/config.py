@@ -33,6 +33,11 @@ class NameSpace:
     def __repr__(self) -> str:
         return "\n".join(f"{k}: {v}" for k, v in vars(self).items())
 
+    # Keep identity hashing (the reference NameSpace defines no __eq__ and
+    # is hashable); defining __eq__ alone would set __hash__ = None and
+    # break dict/set membership.
+    __hash__ = object.__hash__
+
     def __eq__(self, other: object) -> bool:
         if not isinstance(other, NameSpace):
             return NotImplemented

@@ -21,7 +21,16 @@ class _RefFormatter(logging.Formatter):
 
     def format(self, record: logging.LogRecord) -> str:
         stamp = time.strftime("%d_%m_%H:%M", time.localtime(record.created))
-        return f"{stamp} {record.name} {record.levelname}: {record.getMessage()}"
+        msg = f"{stamp} {record.name} {record.levelname}: " \
+              f"{record.getMessage()}"
+        # Unlike the loguru format string this emulates, exceptions must be
+        # appended explicitly — log.exception() during a long TPU run would
+        # otherwise lose the traceback from both sinks.
+        if record.exc_info:
+            msg += "\n" + self.formatException(record.exc_info)
+        if record.stack_info:
+            msg += "\n" + self.formatStack(record.stack_info)
+        return msg
 
 
 def configure_logger(
