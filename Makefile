@@ -1,9 +1,17 @@
 # Convenience targets (see README.md / BENCH.md for details).
 
-.PHONY: test bench bench-pipeline quickstart native clean
+.PHONY: test bench bench-pipeline quickstart native clean dryrun verify
 
 test:
 	python -m pytest tests/ -q
+
+# Multi-chip compile/execute validation on a virtual 8-device CPU mesh.
+dryrun:
+	python -c "import __graft_entry__ as g; g.dryrun_multichip(8); \
+	print('dryrun ok')"
+
+# Full local validation: suite + virtual-mesh dryrun + quickstart chain.
+verify: test dryrun quickstart
 
 bench:
 	python bench.py
