@@ -432,7 +432,7 @@ def _resize_for_crop(crop: int) -> int:
     verbatim for every crop <= 256 (backward compatible) and scaled by the
     same 256/224 ratio beyond it so the crop window never exceeds the
     resized image (which would pad/replicate borders)."""
-    return max(256, round(crop * 256 / 224))
+    return 256 if crop <= 256 else round(crop * 256 / 224)
 
 
 def _make_reader(cfg, crop: int = 224):

@@ -3,7 +3,8 @@
 import numpy as np
 import pytest
 
-from openset_imagenet_tpu.pipeline import Batch, InputPipeline, SyntheticReader
+from openset_imagenet_tpu.pipeline import (Batch, InputPipeline, PILReader,
+                                            SyntheticReader)
 from openset_imagenet_tpu import transforms as T
 
 
@@ -125,3 +126,20 @@ def test_transform_geometry():
     # Determinism: same key -> same result.
     out2 = T.train_transform(pil, T.sample_rng(1, 2, 3))
     np.testing.assert_array_equal(out, out2)
+
+
+def test_resize_scales_with_large_crops():
+    """Crops <= 256 keep the reference Resize(256); larger crops scale by
+    the same 256/224 ratio so the window always fits the resized image."""
+    from openset_imagenet_tpu.train import _resize_for_crop
+
+    assert _resize_for_crop(224) == 256      # reference pair, verbatim
+    assert _resize_for_crop(64) == 256
+    assert _resize_for_crop(256) == 256
+    for crop in (288, 320, 448):
+        r = _resize_for_crop(crop)
+        assert r >= crop
+        assert abs(r / crop - 256 / 224) < 0.01
+
+    with pytest.raises(ValueError, match="exceeds"):
+        PILReader(crop=300, resize=256)
