@@ -43,6 +43,14 @@ void error_exit(j_common_ptr cinfo) {
   longjmp(err->setjmp_buffer, 1);
 }
 
+// Count corrupt-data warnings without libjpeg's default stderr spam (the
+// thread pool would interleave it).  Truncated entropy data is only a
+// WARNING to libjpeg — it fakes an EOI and fills the rest with gray — so
+// decode_core must check num_warnings and fail such images over to PIL.
+void emit_message_quiet(j_common_ptr cinfo, int msg_level) {
+  if (msg_level < 0) cinfo->err->num_warnings++;
+}
+
 // Bilinear sample of channel-interleaved RGB row data.
 inline void sample_bilinear(const uint8_t* src, int sw, int sh,
                             float fx, float fy, uint8_t* out3) {
@@ -89,13 +97,20 @@ extern "C" {
 // unwind from libjpeg's error handler cannot skip a live std::vector
 // destructor (the object outlives the setjmp region; resizing inside it
 // is safe — the buffer is freed by the owner either way).
+// utop/uleft: fractional crop draws in [0, 1) mapped to integer offsets
+// from the image's own resized extent (computed HERE, the one place that
+// knows rw/rh, in float64 to match the PIL replay's Python-float math);
+// negative draws defer to the integer top/left (which in turn select a
+// center crop when negative).
 static int decode_core(const uint8_t* jpeg, size_t len, int resize,
-                       int crop, int top, int left, int flip, uint8_t* out,
+                       int crop, int top, int left, double utop,
+                       double uleft, int flip, uint8_t* out,
                        std::vector<uint8_t>& decoded_storage) {
   jpeg_decompress_struct cinfo;
   ErrorMgr jerr;
   cinfo.err = jpeg_std_error(&jerr.pub);
   jerr.pub.error_exit = error_exit;
+  jerr.pub.emit_message = emit_message_quiet;
   if (setjmp(jerr.setjmp_buffer)) {
     jpeg_destroy_decompress(&cinfo);
     return 1;
@@ -143,7 +158,9 @@ static int decode_core(const uint8_t* jpeg, size_t len, int resize,
     jpeg_read_scanlines(&cinfo, rows, 1);
   }
   jpeg_finish_decompress(&cinfo);
+  const long n_warnings = jerr.pub.num_warnings;
   jpeg_destroy_decompress(&cinfo);
+  if (n_warnings > 0) return 5;  // corrupt data decoded as gray: reject
 
   // Target resized geometry: shorter side == resize, aspect preserved.
   // The long side TRUNCATES like torchvision's Resize
@@ -167,12 +184,15 @@ static int decode_core(const uint8_t* jpeg, size_t len, int resize,
     if ((d & 1) && (k & 1)) ++k;
     return k;
   };
+  if (crop > rw || crop > rh) return 6;  // window must fit; PIL pads
+  if (utop >= 0.0) top = static_cast<int>(utop * (rh - crop + 1));
+  if (uleft >= 0.0) left = static_cast<int>(uleft * (rw - crop + 1));
   if (top < 0) top = center_offset(rh, crop);
   if (left < 0) left = center_offset(rw, crop);
-  // Defensive clamp: fractional-draw rounding at the caller can land one
-  // past the last valid offset.
-  top = std::min(top, std::max(rh - crop, 0));
-  left = std::min(left, std::max(rw - crop, 0));
+  // Defensive clamp: fractional-draw rounding can land one past the last
+  // valid offset.
+  top = std::min(top, rh - crop);
+  left = std::min(left, rw - crop);
 
   // Map each output pixel through the crop offset into decoded coordinates
   // (PIL-style half-pixel centers: src = (dst + 0.5) * scale - 0.5).
@@ -195,8 +215,8 @@ int osi_decode_resize_crop(const uint8_t* jpeg, size_t len, int resize,
                            int crop, int top, int left, int flip,
                            uint8_t* out) {
   std::vector<uint8_t> decoded;  // owned here; safe across longjmp
-  return decode_core(jpeg, len, resize, crop, top, left, flip, out,
-                     decoded);
+  return decode_core(jpeg, len, resize, crop, top, left, -1.0, -1.0, flip,
+                     out, decoded);
 }
 
 // Batch loader: decode n JPEG files into one contiguous uint8 batch
@@ -207,14 +227,6 @@ int osi_decode_resize_crop(const uint8_t* jpeg, size_t len, int resize,
 // so the Python side can pre-draw augmentation without knowing image
 // sizes.  ok[i] is set to 1 on success, 0 on failure (caller falls back to
 // PIL for those images).  Returns the number of failures.
-int osi_decode_resize_crop(const uint8_t* jpeg, size_t len, int resize,
-                           int crop, int top, int left, int flip,
-                           uint8_t* out);
-int osi_jpeg_size(const uint8_t* jpeg, size_t len, int* w, int* h);
-static int decode_core(const uint8_t* jpeg, size_t len, int resize,
-                       int crop, int top, int left, int flip, uint8_t* out,
-                       std::vector<uint8_t>& decoded_storage);
-
 int osi_decode_batch(const char** paths, int n, const float* utop,
                      const float* uleft, const uint8_t* flip, int resize,
                      int crop, int threads, uint8_t* out, uint8_t* ok) {
@@ -233,34 +245,15 @@ int osi_decode_batch(const char** paths, int n, const float* utop,
         failures.fetch_add(1);
         continue;
       }
-      int w = 0, h = 0;
-      if (osi_jpeg_size(buf.data(), buf.size(), &w, &h) != 0) {
-        failures.fetch_add(1);
-        continue;
-      }
-      // Truncating long side, same as decode_core / torchvision Resize.
-      int rw, rh;
-      if (w <= h) {
-        rw = resize;
-        rh = std::max(1, static_cast<int>(
-            static_cast<double>(resize) * h / w));
-      } else {
-        rh = resize;
-        rw = std::max(1, static_cast<int>(
-            static_cast<double>(resize) * w / h));
-      }
-      int top = -1, left = -1;
-      if (utop && utop[i] >= 0.0f)
-        top = std::min(static_cast<int>(
-                           utop[i] * (std::max(rh - crop, 0) + 1)),
-                       std::max(rh - crop, 0));
-      if (uleft && uleft[i] >= 0.0f)
-        left = std::min(static_cast<int>(
-                            uleft[i] * (std::max(rw - crop, 0) + 1)),
-                        std::max(rw - crop, 0));
+      // Fractional draws map to offsets inside decode_core (the one
+      // place that knows the resized extents), in float64 — matching the
+      // PIL replay's Python-float math exactly; this also removes a
+      // second header parse per image.
+      const double ut = utop ? static_cast<double>(utop[i]) : -1.0;
+      const double ul = uleft ? static_cast<double>(uleft[i]) : -1.0;
       const int fl = flip ? flip[i] : 0;
-      if (decode_core(buf.data(), buf.size(), resize, crop, top, left, fl,
-                      out + stride * i, decoded) == 0) {
+      if (decode_core(buf.data(), buf.size(), resize, crop, -1, -1,
+                      ut, ul, fl, out + stride * i, decoded) == 0) {
         ok[i] = 1;
       } else {
         failures.fetch_add(1);

@@ -72,3 +72,18 @@ def test_native_reader_interface(tmp_path):
 
 def test_corrupt_jpeg_returns_none():
     assert nj.decode_resize_crop(b"\xff\xd8garbage", 256, 224) is None
+
+
+def test_truncated_jpeg_rejected_not_gray():
+    """Truncated entropy data is only a WARNING to libjpeg (it fakes an
+    EOI and fills the rest with gray); the native decoder must REJECT such
+    files so the PIL fallback (which raises loudly) handles them, instead
+    of silently feeding half-gray images into training."""
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (300, 400, 3), np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="JPEG", quality=90)
+    data = buf.getvalue()
+    truncated = data[: int(len(data) * 0.6)]
+    assert nj.decode_resize_crop(data, 256, 224) is not None
+    assert nj.decode_resize_crop(truncated, 256, 224) is None
