@@ -155,11 +155,14 @@ def test_sigterm_preemption_checkpoints_and_exits(tmp_path):
 
     def fire_when_started():
         # Wait for the first epoch's checkpoint, then request shutdown.
+        # Never fire blind: if the worker died before checkpointing, the
+        # test already failed — a stray SIGTERM after the worker restored
+        # the default handler would kill the whole pytest session.
         for _ in range(600):
             if curr.exists():
-                break
+                os.kill(os.getpid(), signal.SIGTERM)
+                return
             time.sleep(0.1)
-        os.kill(os.getpid(), signal.SIGTERM)
 
     t = threading.Thread(target=fire_when_started, daemon=True)
     t.start()
@@ -169,7 +172,7 @@ def test_sigterm_preemption_checkpoints_and_exits(tmp_path):
     meta = read_metadata(curr)
     # Stopped long before the 50 requested epochs, at an epoch boundary.
     assert 1 <= meta["epoch"] < 50
-    assert info["last_epoch"] < 50
+    assert info["last_epoch"] == meta["epoch"] - 1  # epoch stored as +1
     # And the run is resumable from that checkpoint.
     cfg2 = tiny_cfg(tmp_path, "entropic", epochs=meta["epoch"] + 1)
     cfg2.checkpoint = str(curr)
@@ -277,7 +280,8 @@ def test_multi_device_step_matches_single_device():
 
 def test_get_arrays_empty_split_returns_empty_arrays():
     """Reference parity: an empty split yields empty arrays, not a crash."""
-    model = build_resnet("tiny", fc_layer_dim=4, out_features=4,
+    # Distinct head widths so a swapped logits/features lookup fails.
+    model = build_resnet("tiny", fc_layer_dim=3, out_features=5,
                          dtype=jnp.float32)
     tx = engine.build_optimizer(
         NameSpace({"type": "adam", "lr": 1e-3, "decay": 0, "gamma": 1}), 1)
@@ -291,7 +295,7 @@ def test_get_arrays_empty_split_returns_empty_arrays():
     t, lg, ft, sc = engine.get_arrays(state, _EmptyPipe(), mesh=None,
                                       gather=False)
     assert t.shape == (0,)
-    assert lg.shape == (0, 4) and sc.shape == (0, 4) and ft.shape == (0, 4)
+    assert lg.shape == (0, 5) and sc.shape == (0, 5) and ft.shape == (0, 3)
 
 
 def test_get_arrays_allgather_path_matches_direct():

@@ -56,8 +56,12 @@ def test_bwd_site_pallas_interpret_matches_ref(dtype, cfg):
                          emit_gp=cfg["emit_gp"], out_dtype=dtype,
                          interpret=True)
     names = ["dx", "gp", "dw", "sums_o", "sums_i"]
+    assert len(ref) == len(pal) == len(names)
     for name, r, p in zip(names, ref, pal):
-        for rr, pp in zip(jax.tree.leaves(r), jax.tree.leaves(p)):
+        leaves_r = jax.tree.leaves(r)
+        leaves_p = jax.tree.leaves(p)
+        assert len(leaves_r) == len(leaves_p), name
+        for rr, pp in zip(leaves_r, leaves_p):
             np.testing.assert_allclose(
                 np.asarray(pp, np.float32), np.asarray(rr, np.float32),
                 rtol=2e-2 if dtype == jnp.bfloat16 else 1e-5,
@@ -69,10 +73,9 @@ def _block_inputs(downsample, stride, dtype=jnp.float32, seed=1,
                   b=2, hw=8, cin=8, f=2):
     rng = np.random.default_rng(seed)
     co = 4 * f
-    x0 = jnp.asarray(rng.standard_normal((b, hw, hw, cin)), dtype)
     if not downsample:
-        cin = co
-        x0 = jnp.asarray(rng.standard_normal((b, hw, hw, cin)), dtype)
+        cin = co  # identity skip requires matching channels
+    x0 = jnp.asarray(rng.standard_normal((b, hw, hw, cin)), dtype)
     args = dict(
         x0=x0,
         w1=jnp.asarray(rng.standard_normal((cin, f)) * 0.4, jnp.float32),
@@ -159,7 +162,7 @@ def test_block_vjp_pallas_interpret_matches_ref(dtype):
             err_msg=f"grad {k} mismatch")
 
 
-def _make_pair(strides, train, f=2, cin=None):
+def _make_pair(strides, train, f=2):
     """Matching fused/unfused Bottleneck modules (f32 for tight compare)."""
     norm = functools.partial(
         SubsetBatchNorm, use_running_average=not train, momentum=0.9,
@@ -280,6 +283,10 @@ def test_engine_step_fused_matches_unfused_on_mesh():
     s_f, loss_f = run(True)
     s_u, loss_u = run(False)
     assert loss_f == pytest.approx(loss_u, rel=1e-4)
+    assert (jax.tree.structure(s_f.params) ==
+            jax.tree.structure(s_u.params))
+    assert (jax.tree.structure(s_f.batch_stats) ==
+            jax.tree.structure(s_u.batch_stats))
     for a, b in zip(jax.tree.leaves(jax.tree.map(np.asarray, s_f.params)),
                     jax.tree.leaves(jax.tree.map(np.asarray, s_u.params))):
         np.testing.assert_allclose(a, b, rtol=5e-4, atol=5e-4)
@@ -310,7 +317,12 @@ def test_masked_add_relu_grads_match_autodiff():
 
 
 def test_boundary_mask_model_grads_match():
-    """ResNet with boundary_mask on == off, bit-for-bit in f32."""
+    """ResNet with boundary_mask on == off (f32, tight tolerance).
+
+    The op itself is bit-exact (test_masked_add_relu_grads_match_autodiff
+    asserts equality); across whole compiled models a small tolerance
+    absorbs compilation-dependent FMA/fusion contraction differences.
+    """
     from openset_imagenet_tpu.models.resnet import build_resnet
     x = jnp.asarray(np.random.default_rng(2).standard_normal(
         (4, 32, 32, 3)), jnp.float32)

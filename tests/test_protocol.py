@@ -136,17 +136,25 @@ def test_protocol_generation_is_deterministic_golden(fake_tree, tmp_path):
     import hashlib
 
     root, meta, supers, leaves = fake_tree
-    digest = hashlib.sha256()
+    classes_digest = hashlib.sha256()   # repo-only selection/label logic
+    split_digest = hashlib.sha256()     # includes sklearn's shuffling
     for proto in (1, 2, 3):
         p = OpenSetProtocol(root, meta, proto)
         p.create_dataset(random_state=42)
-        digest.update(repr((proto, p.kn_classes, p.neg_classes,
-                            p.unk_classes)).encode())
+        classes_digest.update(repr((proto, p.kn_classes, p.neg_classes,
+                                    p.unk_classes)).encode())
         for split in ("train", "val", "test"):
             for path, label in p.data[split]:
-                digest.update(f"{proto}/{split}/{path}/{label}".encode())
-    assert digest.hexdigest() == (
-        "43d3903d86cfb1ead1c7353af4ce7c42b1e742734488c6c0760de58829a47322")
+                split_digest.update(
+                    f"{proto}/{split}/{path}/{label}".encode())
+    assert classes_digest.hexdigest() == (
+        "90fb2bb1d09804e43c5817658474878568e16543216e668bfa920d8c8354fe07"), \
+        "class selection / label assignment changed"
+    assert split_digest.hexdigest() == (
+        "ec19d2a024f8439e80c78b29710018c4d680a73bc2dbbba695a34ed704f2ee0c"), \
+        ("split membership changed — repo split logic OR scikit-learn's "
+         "StratifiedShuffleSplit internals (check the sklearn version "
+         "before suspecting repo code)")
 
 
 def test_protocol2_half_split(fake_tree):
