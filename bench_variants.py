@@ -71,7 +71,12 @@ def time_step(state, step, batch_arrays, batch, steps=20, warmup=4,
         t0 = time.perf_counter()
         for _ in range(steps):
             state, m = step(state, *batch_arrays)
-        assert np.isfinite(float(m["loss_sum"]))
+        # Unconditional fetch: this is the timing sync (block_until_ready is
+        # a no-op through the tunnel) — never hide it inside an assert,
+        # which python -O would strip.
+        loss = float(m["loss_sum"])
+        if not np.isfinite(loss):
+            raise RuntimeError(f"non-finite loss during timing: {loss}")
         rates.append(batch * steps / (time.perf_counter() - t0))
     return float(np.median(rates)), state
 

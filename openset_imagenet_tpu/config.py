@@ -35,7 +35,9 @@ class NameSpace:
 
     # Keep identity hashing (the reference NameSpace defines no __eq__ and
     # is hashable); defining __eq__ alone would set __hash__ = None and
-    # break dict/set membership.
+    # break dict/set membership.  NOTE: equal configs therefore hash
+    # differently — never rely on dict/set keys to deduplicate NameSpaces
+    # by value; compare with == (or .dict()) explicitly instead.
     __hash__ = object.__hash__
 
     def __eq__(self, other: object) -> bool:

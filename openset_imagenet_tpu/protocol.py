@@ -162,6 +162,10 @@ class OpenSetProtocol:
         self.neg_classes = sorted(set(neg))
         self.unk_classes = sorted(set(unk))
         self.label_map = {wnid: i for i, wnid in enumerate(self.kn_classes)}
+        # Rebuild eagerly: lazy length-based invalidation in get_label would
+        # keep a stale set if neg_classes were replaced by an equal-length
+        # list after a parse_class call.
+        self._neg_set = frozenset(self.neg_classes)
 
     def get_label(self, class_name: str) -> int:
         """0..N-1 for knowns, -1 negatives, -2 unknowns."""
@@ -169,8 +173,9 @@ class OpenSetProtocol:
             return self.label_map[class_name]
         # O(1) set membership: called once per image over ~hundreds of
         # thousands of images (the list scan was the builder's hot spot).
-        if self._neg_set is None or len(self._neg_set) != len(
-                self.neg_classes):
+        # update_classes() rebuilds the set whenever neg_classes changes;
+        # this fallback only covers direct neg_classes assignment.
+        if self._neg_set is None:
             self._neg_set = frozenset(self.neg_classes)
         if class_name in self._neg_set:
             return -1

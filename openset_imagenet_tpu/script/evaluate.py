@@ -32,7 +32,8 @@ def get_args(argv=None):
     parser.add_argument("--use-best", "-b", action="store_true",
                         help="Load the _best checkpoint instead of _curr")
     parser.add_argument("--gpu", "-g", type=int, nargs="?", default=None,
-                        const=0, help="Accepted for compatibility")
+                        const=0, help="Pin evaluation to this device index "
+                        "(single-device mesh); default uses all devices")
     parser.add_argument("--imagenet-directory",
                         default="/local/scratch/datasets/ImageNet/ILSVRC2012/",
                         help="ImageNet root directory")

@@ -28,6 +28,24 @@ def test_mesh_restricted_to_device():
     assert [d.id for d in mesh.devices.flat] == [5]
 
 
+def test_mesh_warns_and_shrinks_on_non_divisible_batch():
+    """Single-host: a batch not divisible by the device count shrinks the
+    mesh to the largest divisor and warns loudly (mesh.py:91-95)."""
+    n = len(jax.devices())
+    assert n == 8, "conftest forces an 8-device virtual mesh"
+    with pytest.warns(UserWarning, match="not divisible"):
+        mesh = data_mesh_for_batch(6)  # gcd-style largest divisor <= 8 is 6
+    assert mesh.devices.size == 6
+
+
+def test_mesh_no_warning_on_divisible_batch(recwarn):
+    mesh = data_mesh_for_batch(16)
+    assert mesh.devices.size == len(jax.devices())
+    assert not [w for w in recwarn.list
+                if issubclass(w.category, UserWarning)
+                and "divisible" in str(w.message)]
+
+
 def test_worker_honors_cfg_gpu(tmp_path):
     from openset_imagenet_tpu import train as engine
 
