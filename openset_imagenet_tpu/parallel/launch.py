@@ -1,0 +1,217 @@
+"""Multi-process launcher + runtime bootstrap (the framework's torchrun).
+
+The reference never runs one training job across processes — its only
+multi-process story is one-experiment-per-GPU sweep queues (reference
+``script/train_all.py:95-118``).  A TPU-native framework needs true
+multi-host SPMD: one process per host, each addressing its local chips,
+jointly executing one globally-sharded program.  This module provides both
+halves of that story:
+
+* :func:`maybe_initialize` — runtime bootstrap called by the CLIs / worker.
+  Reads the ``OSI_COORDINATOR`` / ``OSI_NUM_PROCESSES`` / ``OSI_PROCESS_ID``
+  contract (set by the launcher below, by a cluster scheduler, or by hand)
+  and brings up ``jax.distributed``.  ``OSI_DISTRIBUTED=auto`` instead uses
+  JAX's own cluster auto-detection (TPU pod metadata).  No env → no-op, so
+  single-process usage never pays anything.
+* :func:`main` — the ``launch_imagenet`` CLI: spawn ``--nproc`` local
+  processes wired to a fresh coordinator and run the given module in each.
+  ``--cpu --devices-per-process K`` gives every process K virtual CPU
+  devices — a real multi-process SPMD cluster (cross-process Gloo
+  collectives, one process's arrays sharded over all hosts) on a laptop;
+  this is how the multi-host code paths (lead-only writes, allgather eval,
+  preemption agreement) are validated without a TPU pod.
+
+Signal contract: the launcher forwards SIGTERM/SIGINT to every child, so
+preempting the launcher preempts the job; a child exiting non-zero tears
+the rest down (fail-fast, like torchrun).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import signal
+import socket
+import subprocess
+import sys
+import threading
+from typing import List, Optional, Sequence
+
+COORD_ENV = "OSI_COORDINATOR"
+NPROC_ENV = "OSI_NUM_PROCESSES"
+PID_ENV = "OSI_PROCESS_ID"
+AUTO_ENV = "OSI_DISTRIBUTED"
+
+_initialized = False
+
+
+def maybe_initialize(timeout_s: Optional[int] = None) -> bool:
+    """Bring up ``jax.distributed`` if a multi-process contract is present.
+
+    Returns True when running distributed (after this call), False for
+    plain single-process runs.  Idempotent: safe to call from both a CLI
+    main and the engine worker.
+    """
+    global _initialized
+    if _initialized:
+        return True
+    coord = os.environ.get(COORD_ENV)
+    auto = os.environ.get(AUTO_ENV, "").lower() in ("auto", "1", "true")
+    if not coord and not auto:
+        return False
+
+    import jax
+
+    if coord:
+        kwargs = {}
+        if timeout_s is not None:
+            kwargs["initialization_timeout"] = int(timeout_s)
+        jax.distributed.initialize(
+            coordinator_address=coord,
+            num_processes=int(os.environ[NPROC_ENV]),
+            process_id=int(os.environ[PID_ENV]), **kwargs)
+    else:  # auto: TPU pod / cluster env auto-detection
+        jax.distributed.initialize()
+    _initialized = True
+    return True
+
+
+def _free_port() -> int:
+    with socket.socket(socket.AF_INET, socket.SOCK_STREAM) as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _child_env(base: dict, rank: int, nproc: int, port: int,
+               cpu: bool, devices_per_process: int) -> dict:
+    env = dict(base)
+    env[COORD_ENV] = f"localhost:{port}"
+    env[NPROC_ENV] = str(nproc)
+    env[PID_ENV] = str(rank)
+    if cpu:
+        env["OSI_JAX_PLATFORM"] = "cpu"   # honored even under site hooks
+        env["JAX_PLATFORMS"] = "cpu"
+        flags = [f for f in env.get("XLA_FLAGS", "").split()
+                 if "xla_force_host_platform_device_count" not in f]
+        flags.append("--xla_force_host_platform_device_count="
+                     f"{devices_per_process}")
+        env["XLA_FLAGS"] = " ".join(flags)
+    return env
+
+
+def spawn(command: Sequence[str], nproc: int, cpu: bool = False,
+          devices_per_process: int = 1, port: Optional[int] = None,
+          env: Optional[dict] = None,
+          stream: bool = True) -> List[subprocess.Popen]:
+    """Start ``nproc`` coordinated child processes; return their handles.
+
+    Low-level form of :func:`launch` for callers that need the PIDs (e.g.
+    delivering a preemption signal to ONE rank in tests).  ``command`` is
+    an argv suffix executed as ``python -m cmd[0] cmd[1:]`` when ``cmd[0]``
+    looks like a module path, else as a script path.
+    """
+    if port is None:
+        port = _free_port()
+    base_env = dict(os.environ if env is None else env)
+    argv = list(command)
+    if argv and (argv[0].endswith(".py") or os.sep in argv[0]):
+        argv = [sys.executable] + argv
+    else:
+        argv = [sys.executable, "-m"] + argv
+    return [subprocess.Popen(
+        argv, env=_child_env(base_env, rank, nproc, port, cpu,
+                             devices_per_process),
+        stdout=None if stream else subprocess.DEVNULL,
+        stderr=None if stream else subprocess.DEVNULL)
+        for rank in range(nproc)]
+
+
+def launch(command: Sequence[str], nproc: int, cpu: bool = False,
+           devices_per_process: int = 1, port: Optional[int] = None,
+           env: Optional[dict] = None, stream: bool = True) -> List[int]:
+    """Run ``command`` in ``nproc`` coordinated processes; return exit codes.
+
+    ``command`` is an argv suffix executed as ``python -m cmd[0] cmd[1:]``
+    when ``cmd[0]`` looks like a module path, else verbatim.
+    """
+    procs = spawn(command, nproc, cpu=cpu,
+                  devices_per_process=devices_per_process, port=port,
+                  env=env, stream=stream)
+
+    def _forward(signum, frame):
+        for p in procs:
+            if p.poll() is None:
+                try:
+                    p.send_signal(signum)
+                except OSError:
+                    pass
+
+    prev = {}
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            prev[sig] = signal.signal(sig, _forward)
+        except ValueError:          # non-main thread (tests)
+            pass
+
+    try:
+        # Fail fast: if any child dies non-zero, terminate the rest rather
+        # than letting them block forever inside a collective.
+        fail = threading.Event()
+
+        def _watch(p):
+            if p.wait() != 0:
+                fail.set()
+
+        watchers = [threading.Thread(target=_watch, args=(p,), daemon=True)
+                    for p in procs]
+        for w in watchers:
+            w.start()
+        while any(p.poll() is None for p in procs):
+            if fail.is_set():
+                for p in procs:
+                    if p.poll() is None:
+                        p.terminate()
+                break
+            threading.Event().wait(0.2)
+        return [p.wait() for p in procs]
+    finally:
+        for sig, h in prev.items():
+            signal.signal(sig, h)
+
+
+def get_args(argv=None):
+    parser = argparse.ArgumentParser(
+        "launch_imagenet",
+        description="Launch a command in N coordinated jax.distributed "
+                    "processes (multi-host SPMD locally or per-host on a "
+                    "pod slice)")
+    parser.add_argument("--nproc", "-n", type=int, required=True,
+                        help="Number of coordinated processes to spawn")
+    parser.add_argument("--cpu", action="store_true",
+                        help="Force each process onto virtual CPU devices "
+                             "(multi-host validation without a pod)")
+    parser.add_argument("--devices-per-process", type=int, default=1,
+                        help="Virtual CPU devices per process (with --cpu)")
+    parser.add_argument("--port", type=int, default=None,
+                        help="Coordinator port (default: pick a free one)")
+    parser.add_argument("command", nargs=argparse.REMAINDER,
+                        help="Module + args to run, e.g. "
+                             "openset_imagenet_tpu.script.train cfg.yaml 1")
+    return parser.parse_args(argv)
+
+
+def main(argv=None):
+    args = get_args(argv)
+    command = [c for c in args.command if c != "--"]
+    if not command:
+        raise SystemExit("launch_imagenet: no command given")
+    codes = launch(command, nproc=args.nproc, cpu=args.cpu,
+                   devices_per_process=args.devices_per_process,
+                   port=args.port)
+    bad = [f"rank {i}: rc={rc}" for i, rc in enumerate(codes) if rc != 0]
+    if bad:
+        raise SystemExit("launch_imagenet: " + "; ".join(bad))
+
+
+if __name__ == "__main__":
+    main()

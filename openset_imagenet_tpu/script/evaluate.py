@@ -60,6 +60,10 @@ def get_args(argv=None):
 
 def main(argv=None):
     args = get_args(argv)
+    # Multi-host: bring up jax.distributed (no-op single-process) BEFORE
+    # the first backend touch below.
+    from ..parallel.launch import maybe_initialize
+    maybe_initialize()
     import jax
 
     from ..config import NameSpace
@@ -122,15 +126,20 @@ def main(argv=None):
         pipe = pipeline_from_dataset(
             ds, args.batch_size, is_training=False, seed=42,
             num_workers=args.workers, reader=reader,
-            sharding=batch_sharding(mesh))
+            sharding=batch_sharding(mesh),
+            process_index=jax.process_index(),
+            process_count=jax.process_count())
         gt, logits, features, scores = engine.get_arrays(
             state, pipe, forward_step=forward)
         pipe.close()
         file_path = out_dir / f"{args.loss}_{split}_arr{suffix}.npz"
-        np.savez(file_path, gt=gt, logits=logits, features=features,
-                 scores=scores)
-        log.info(f"Target labels, logits, features and scores saved in: "
-                 f"{file_path}")
+        # get_arrays allgathers the full arrays to every process; only the
+        # lead writes the (shared) output file.
+        if jax.process_index() == 0:
+            np.savez(file_path, gt=gt, logits=logits, features=features,
+                     scores=scores)
+            log.info(f"Target labels, logits, features and scores saved "
+                     f"in: {file_path}")
 
 
 if __name__ == "__main__":

@@ -500,6 +500,11 @@ class _NullWriter:
 
 def worker(cfg) -> dict:
     """Train one (protocol, loss) run end to end.  Returns summary info."""
+    # Multi-host: bring up jax.distributed when launched under the
+    # launch_imagenet contract (no-op otherwise) — must precede the first
+    # backend touch (the PRNGKey below).
+    from .parallel.launch import maybe_initialize
+    maybe_initialize()
     rng = set_seeds(cfg.seed)
 
     # Optional persistent XLA compilation cache: sweep runs and resumes
