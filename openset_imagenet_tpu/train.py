@@ -222,17 +222,23 @@ def _to_float(images_u8: jnp.ndarray) -> jnp.ndarray:
     return images_u8.astype(jnp.float32) * (1.0 / 255.0)
 
 
-def make_train_step(loss_fn: Callable, mesh=None) -> Callable:
+def make_train_step(loss_fn: Callable, mesh=None,
+                    apply_fn: Optional[Callable] = None) -> Callable:
     """Compile the fused forward/loss/backward/update step.
 
     Under a mesh: state replicated, batch sharded over ``data``; the gradient
     all-reduce materialises as an XLA ``psum`` over ICI.
+
+    ``apply_fn`` overrides ``state.apply_fn`` — used by the ragged-tail step,
+    which applies the same parameters through a model whose batch-norm
+    statistics window covers exactly the valid (non-padded) rows.
     """
     def step(state: TrainState, images, labels, mask):
         imgs = _to_float(images)
+        apply = apply_fn if apply_fn is not None else state.apply_fn
 
         def loss_of(params):
-            (logits, _), mutated = state.apply_fn(
+            (logits, _), mutated = apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 imgs, train=True, mutable=["batch_stats"])
             loss, count = loss_fn(logits, labels, mask)
@@ -313,7 +319,8 @@ def make_forward_step(mesh=None) -> Callable:
 
 def train_epoch(state: TrainState, pipeline: InputPipeline, epoch: int,
                 train_step: Callable, trackers,
-                progress: bool = False) -> TrainState:
+                progress: bool = False,
+                tail_step: Optional[Callable] = None) -> TrainState:
     """One pass over the training set; updates ``trackers['j']``.
 
     Also tracks wall-clock throughput in ``trackers['imgs/s']`` (the
@@ -321,20 +328,28 @@ def train_epoch(state: TrainState, pipeline: InputPipeline, epoch: int,
     imgs/sec is the BASELINE.md headline unit so it is first-class here).
     ``progress`` shows a tqdm bar like the reference's non-parallel mode
     (``train.py:122-123``).
+
+    ``tail_step`` handles the final (ragged, padded+masked) batch with
+    batch-norm statistics restricted to its valid rows — the reference
+    trains this tail too (``DataLoader(drop_last=False)``, reference
+    ``train.py:299-304``).
     """
     for m in trackers.values():
         m.reset()
     sums = None
     t0 = time.time()
+    nb = len(pipeline)
     batches = pipeline.epoch(epoch)
     if progress:
         try:
             import tqdm
-            batches = tqdm.tqdm(batches, total=len(pipeline), leave=False)
+            batches = tqdm.tqdm(batches, total=nb, leave=False)
         except ImportError:
             pass
-    for batch in batches:
-        state, m = train_step(state, batch.images, batch.labels, batch.mask)
+    for i, batch in enumerate(batches):
+        step = (tail_step if tail_step is not None and i == nb - 1
+                else train_step)
+        state, m = step(state, batch.images, batch.labels, batch.mask)
         sums = m if sums is None else jax.tree.map(jnp.add, sums, m)
     if sums is not None:
         count = float(sums["count"])  # device fetch: drains the epoch
@@ -574,9 +589,32 @@ def worker(cfg) -> dict:
     image_size = int(getattr(cfg.data, "image_size", 224) or 224)
     workers = int(getattr(cfg, "workers", 4) or 4)
     reader = _make_reader(cfg, crop=image_size)
-    # drop_remainder keeps train batch-norm statistics free of padded rows;
-    # datasets smaller than one batch fall back to a padded+masked batch.
-    drop_remainder = len(train_ds) >= int(cfg.batch_size)
+    # Ragged-tail policy.  The reference trains the final partial batch
+    # (``DataLoader(drop_last=False)``, reference train.py:299-304):
+    #   masked (default): train the tail as a padded+masked batch through a
+    #     tail-specialised step whose batch-norm statistics cover exactly
+    #     the valid rows — loss, gradients, BN statistics and running
+    #     averages all match the reference's unpadded tail batch.
+    #   drop: skip the tail (up to batch_size-1 samples/epoch) to keep a
+    #     single compiled step.
+    # shard_map mode and the experimental fused blocks compute their own
+    # statistics layout and keep the drop behavior.
+    tail_mode = getattr(cfg, "train_tail", None) or "masked"
+    if tail_mode not in ("masked", "drop"):
+        raise ValueError(f"train_tail must be 'masked' or 'drop', "
+                         f"got {tail_mode!r}")
+    parallel_mode = getattr(cfg, "parallel_mode", "gspmd") or "gspmd"
+    model_cfg = getattr(cfg, "model", None)
+    fused_blocks = bool(getattr(model_cfg, "fused_blocks", False)) \
+        if model_cfg is not None else False
+    n_tail = len(train_ds) % int(cfg.batch_size)
+    if tail_mode == "masked" and n_tail and (
+            parallel_mode == "shard_map" or fused_blocks):
+        log.info("train_tail=masked is unsupported with shard_map / fused "
+                 "blocks; dropping the ragged tail batch instead")
+        tail_mode = "drop"
+    drop_remainder = (tail_mode == "drop"
+                      and len(train_ds) >= int(cfg.batch_size))
     train_pipe = pipeline_from_dataset(
         train_ds, cfg.batch_size, is_training=True, seed=cfg.seed,
         num_workers=workers, reader=reader, sharding=data_sh,
@@ -615,11 +653,23 @@ def worker(cfg) -> dict:
     # parallel_mode: gspmd (default, one global-batch program) or
     # shard_map (explicit collectives + per-device BN statistics — the
     # reference's torch BN semantics; see parallel/shard_step.py).
-    if getattr(cfg, "parallel_mode", "gspmd") == "shard_map":
+    if parallel_mode == "shard_map":
         from .parallel.shard_step import make_train_step_shard_map
         train_step = make_train_step_shard_map(loss_fn, mesh)
     else:
         train_step = make_train_step(loss_fn, mesh)
+    tail_step = None
+    if n_tail and not drop_remainder and tail_mode == "masked":
+        # Tail batches arrive padded to batch_size with the padding LAST
+        # (the shuffled order is sliced before -1 fill, pipeline.py
+        # _local_slice), so a leading-rows statistics window of exactly
+        # n_tail rows sees only valid samples.  An existing ghost-BN window
+        # smaller than the tail keeps its configured size.
+        g = int(model.bn_stats_rows)
+        tail_rows = n_tail if (g == 0 or g > n_tail) else g
+        tail_step = make_train_step(loss_fn, mesh,
+                                    apply_fn=model.clone(
+                                        bn_stats_rows=tail_rows).apply)
     eval_step = make_eval_step(loss_fn, cfg.loss.type, n_classes, mesh)
 
     patience = int(getattr(cfg, "patience", 0) or 0)
@@ -668,7 +718,8 @@ def worker(cfg) -> dict:
                 state = train_epoch(state, train_pipe, epoch, train_step,
                                     t_metrics,
                                     progress=not getattr(cfg, "parallel",
-                                                         False))
+                                                         False),
+                                    tail_step=tail_step)
             finally:
                 # Stop even when a step raises: an unterminated trace is
                 # lost AND poisons any later start_trace in this process.
