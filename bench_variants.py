@@ -198,7 +198,7 @@ VARIANTS = {
         {"xla_tpu_enable_experimental_fusion_cost_model": "true"}, ghost=32),
     "hlo": lambda: hlo_dump(ghost=32),
     "multistep": lambda: multistep(ghost=32),
-    # Fused-backward bottleneck blocks (ops/fused_block.py).
+    # Fused-backward bottleneck blocks (experimental/fused_block.py).
     "fusedblk": lambda: run_variant("fusedblk", 256, ghost=64,
                                     fused_blocks=True),
     "fusedblk_g32": lambda: run_variant("fusedblk_g32", 256, ghost=32,

@@ -34,7 +34,7 @@ from flax import linen as nn
 class BNAffine(nn.Module):
     """Parameter/statistics holder for externally computed BN statistics.
 
-    Used by the fused-backward bottleneck (``ops/fused_block.py``), where
+    Used by the fused-backward bottleneck (``experimental/fused_block.py``), where
     the ghost statistics are computed by the block itself (on the leading
     rows' pre-pass) and normalization is folded into per-channel
     ``(mul, add)`` vectors.  The variable layout (``scale``/``bias`` params,

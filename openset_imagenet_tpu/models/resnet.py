@@ -123,7 +123,7 @@ class BasicBlock(nn.Module):
     norm: ModuleDef = nn.BatchNorm
     dtype: Any = jnp.bfloat16
     expansion: int = 1
-    # Save the boundary ReLU gate as int8 (ops/fused_block.masked_add_relu)
+    # Save the boundary ReLU gate as int8 (experimental/fused_block.masked_add_relu)
     # instead of letting autodiff re-read the bf16 pre-sum in backward.
     boundary_mask: bool = False
 
@@ -154,7 +154,7 @@ class BasicBlock(nn.Module):
             residual = self.norm(name="downsample_bn")(residual)
 
         if self.boundary_mask:
-            from ..ops.fused_block import masked_add_relu
+            from ..experimental.fused_block import masked_add_relu
             return masked_add_relu(y, residual)
         return nn.relu(y + residual)
 
@@ -184,7 +184,7 @@ class Bottleneck(nn.Module):
     norm: ModuleDef = nn.BatchNorm
     dtype: Any = jnp.bfloat16
     dot_1x1: bool = False
-    # Fused-backward mode (ops/fused_block.py): one custom-VJP per block,
+    # Fused-backward mode (experimental/fused_block.py): one custom-VJP per block,
     # Pallas kernels for the pointwise-conv backward regions.  Requires
     # ghost BN statistics (stats_rows > 0) when training.
     fused: bool = False
@@ -196,7 +196,7 @@ class Bottleneck(nn.Module):
     boundary_mask: bool = False
 
     def _fused_call(self, x):
-        from ..ops.fused_block import (_affine, _conv3x3, _pw,
+        from ..experimental.fused_block import (_affine, _conv3x3, _pw,
                                        bottleneck_fused, ghost_stats)
         from .norm import BNAffine
 
@@ -307,7 +307,7 @@ class Bottleneck(nn.Module):
             residual = self.norm(name="downsample_bn")(residual)
 
         if self.boundary_mask:
-            from ..ops.fused_block import masked_add_relu
+            from ..experimental.fused_block import masked_add_relu
             return masked_add_relu(y, residual)
         return nn.relu(y + residual)
 
@@ -348,12 +348,12 @@ class ResNet50(nn.Module):
     remat: Any = False
     # Lower 1x1 convolutions as explicit MXU dots (see Conv1x1).
     dot_1x1: bool = False
-    # Fused-backward bottleneck blocks (ops/fused_block.py): block-level
+    # Fused-backward bottleneck blocks (experimental/fused_block.py): block-level
     # custom VJP with Pallas kernels for the pointwise backward regions.
     # Requires bn_stats_rows > 0 for training; Bottleneck variants only.
     fused_blocks: bool = False
     # Residual-boundary ReLU gates saved as int8 (backward reads the 1-byte
-    # mask instead of the bf16 pre-sum; ops/fused_block.masked_add_relu).
+    # mask instead of the bf16 pre-sum; experimental/fused_block.masked_add_relu).
     boundary_mask: bool = False
 
     @nn.compact

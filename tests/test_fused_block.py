@@ -15,7 +15,7 @@ from flax import linen as nn
 
 from openset_imagenet_tpu.models.norm import SubsetBatchNorm
 from openset_imagenet_tpu.models.resnet import Bottleneck
-from openset_imagenet_tpu.ops import fused_block as fb
+from openset_imagenet_tpu.experimental import fused_block as fb
 
 
 def _site_inputs(m, ci, co, dtype, seed=0):

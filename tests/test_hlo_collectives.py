@@ -1,0 +1,132 @@
+"""Structural lock on the multi-chip collective layout (SURVEY §2).
+
+Compiles the production train/eval steps over the 8-device virtual mesh
+and inspects the optimized HLO: the DP-scaling claim ("one gradient
+all-reduce per step, activations never leave their shard") becomes a
+checked invariant instead of a projection.  Hardware-free.
+
+Expected layout (measured and locked here):
+
+* shard_map mode (per-device BN statistics, explicit psum): EXACTLY one
+  all-reduce — XLA fuses the gradient psum, the metric psums, and the BN
+  running-stat pmean into a single variadic collective.  Nothing else.
+* GSPMD mode: one all-reduce per training BatchNorm (cross-shard batch
+  statistics — the documented HBM/ICI cost of reference-parity global BN,
+  BENCH.md round-1 breakdown) plus a small constant for gradients +
+  metrics; ghost statistics add collective-permutes (leading-rows window
+  broadcast) but no all-gathers.
+* NO all-gather / all-to-all / reduce-scatter in any mode: batches stay
+  sharded end to end; parameters are replicated, never resharded.
+* Eval/forward steps: no resharding either; eval reduces only its scalar
+  confidence/loss sums.
+"""
+
+import re
+
+import jax
+import numpy as np
+import pytest
+
+from openset_imagenet_tpu import train as engine
+from openset_imagenet_tpu.config import NameSpace
+from openset_imagenet_tpu.models.resnet import build_resnet
+from openset_imagenet_tpu.parallel.mesh import (batch_sharding, make_mesh,
+                                                replicated)
+
+COLLECTIVES = ("all-reduce", "all-gather", "all-to-all",
+               "collective-permute", "reduce-scatter")
+
+
+def _counts(hlo_text):
+    return {c: len(re.findall(rf"{c}(?:-start)?(?:\.\d+)? = ", hlo_text))
+            for c in COLLECTIVES}
+
+
+def _n_batchnorms(params):
+    return sum(1 for path, _ in
+               jax.tree_util.tree_leaves_with_path(params)
+               if "scale" in jax.tree_util.keystr(path))
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh()
+
+
+def _state_and_batch(model, mesh, batch=16):
+    tx = engine.build_optimizer(
+        NameSpace({"type": "adam", "lr": 1e-3, "decay": 0, "gamma": 1}), 4)
+    state = jax.device_put(
+        engine.create_state(model, jax.random.PRNGKey(0), tx,
+                            image_size=32), replicated(mesh))
+    sh = batch_sharding(mesh)
+    images = jax.device_put(np.zeros((batch, 32, 32, 3), np.uint8), sh)
+    labels = jax.device_put(np.zeros(batch, np.int32), sh)
+    mask = jax.device_put(np.ones(batch, np.float32), sh)
+    return state, (images, labels, mask)
+
+
+def test_shard_map_step_has_exactly_one_all_reduce(mesh):
+    """Per-device BN + explicit psum: ONE fused collective per step."""
+    from openset_imagenet_tpu.parallel.shard_step import (
+        make_train_step_shard_map)
+
+    model = build_resnet("tiny", fc_layer_dim=8, out_features=8)
+    state, batch = _state_and_batch(model, mesh)
+    step = make_train_step_shard_map(engine.make_loss_fn("entropic"), mesh)
+    c = _counts(step.lower(state, *batch).compile().as_text())
+    assert c["all-reduce"] == 1, c
+    for other in COLLECTIVES[1:]:
+        assert c[other] == 0, c
+
+
+def test_gspmd_step_reduces_only_bn_stats_and_gradients(mesh):
+    """Global-BN mode: per-BN stat all-reduces + grads/metrics, no
+    resharding of activations or parameters."""
+    model = build_resnet("tiny", fc_layer_dim=8, out_features=8)
+    state, batch = _state_and_batch(model, mesh)
+    step = engine.make_train_step(engine.make_loss_fn("entropic"), mesh)
+    c = _counts(step.lower(state, *batch).compile().as_text())
+    n_bn = _n_batchnorms(state.params)
+    assert n_bn > 0
+    # One stats all-reduce per training BN + a handful for the fused
+    # gradient/metric reduction; a count explosion or any gather/reshard
+    # fails loudly.
+    assert 1 <= c["all-reduce"] <= n_bn + 8, (c, n_bn)
+    assert c["all-gather"] == 0, c
+    assert c["all-to-all"] == 0, c
+    assert c["reduce-scatter"] == 0, c
+    assert c["collective-permute"] == 0, c
+
+
+def test_gspmd_ghost_stats_add_no_gathers(mesh):
+    """Ghost BN's leading-rows window broadcasts via collective-permute
+    (shard 0 -> others) but must never materialise an all-gather."""
+    model = build_resnet("tiny", fc_layer_dim=8, out_features=8,
+                         bn_stats_rows=2)
+    state, batch = _state_and_batch(model, mesh)
+    step = engine.make_train_step(engine.make_loss_fn("entropic"), mesh)
+    c = _counts(step.lower(state, *batch).compile().as_text())
+    assert c["all-gather"] == 0, c
+    assert c["all-to-all"] == 0, c
+    assert c["reduce-scatter"] == 0, c
+
+
+def test_eval_and_forward_steps_never_reshard(mesh):
+    """Eval reduces scalar sums only; extraction has no collectives at all
+    (outputs stay batch-sharded for the host gather)."""
+    model = build_resnet("tiny", fc_layer_dim=8, out_features=8)
+    state, batch = _state_and_batch(model, mesh)
+
+    eval_step = engine.make_eval_step(
+        engine.make_loss_fn("entropic"), "entropic", 8, mesh)
+    c = _counts(eval_step.lower(state, *batch).compile().as_text())
+    # Running-average BN at eval: no per-layer stat collectives remain.
+    assert 1 <= c["all-reduce"] <= 4, c
+    for other in COLLECTIVES[1:]:
+        assert c[other] == 0, c
+
+    fwd = engine.make_forward_step(mesh)
+    c = _counts(fwd.lower(state, batch[0]).compile().as_text())
+    for coll in COLLECTIVES:
+        assert c[coll] == 0, c
