@@ -12,18 +12,20 @@ surgery before training:
   from the *training* set only (reference ``dataset.py:70-74``).
 * ``entropic`` — no surgery; the loss consumes negative labels natively.
 
-Unlike the reference (a torch ``Dataset`` doing per-item JPEG decode), this
-class is a pure *index*: it owns the path/label arrays and the label
-bookkeeping, while decoding and batching live in the TPU input pipeline
-(:mod:`openset_imagenet_tpu.pipeline`), which consumes the arrays wholesale.
+Unlike the reference (a torch ``Dataset`` holding a pandas frame and doing
+per-item JPEG decode), this class is a pure *index* over two flat numpy
+arrays: it owns the path/label arrays and the label bookkeeping, while
+decoding and batching live in the TPU input pipeline
+(:mod:`openset_imagenet_tpu.pipeline`), which consumes the arrays
+wholesale.
 """
 
 from __future__ import annotations
 
+import csv
 from pathlib import Path
 
 import numpy as np
-import pandas as pd
 
 
 class ImagenetDataset:
@@ -41,28 +43,36 @@ class ImagenetDataset:
                 :mod:`openset_imagenet_tpu.transforms`); stored for the
                 pipeline to use.
         """
-        self.dataset = pd.read_csv(csv_file, header=None)
+        paths, labels = [], []
+        with open(csv_file, newline="") as f:
+            for row in csv.reader(f):
+                if not row:
+                    continue
+                paths.append(row[0])
+                labels.append(int(row[1]))
+        self._paths = np.asarray(paths, dtype=object)
+        self._labels = np.asarray(labels, dtype=np.int32)
         self.imagenet_path = Path(imagenet_path)
         self.transform = transform
-        self.label_count = len(self.dataset[1].unique())
-        self.unique_classes = np.sort(self.dataset[1].unique())
+        self.unique_classes = np.unique(self._labels)
+        self.label_count = len(self.unique_classes)
 
     def __len__(self) -> int:
-        return len(self.dataset)
+        return len(self._labels)
 
     # -- array accessors used by the input pipeline ------------------------
     @property
     def paths(self) -> np.ndarray:
         """Relative JPEG paths as a numpy object array."""
-        return self.dataset[0].to_numpy()
+        return self._paths
 
     @property
     def labels(self) -> np.ndarray:
         """Labels as an int32 numpy array."""
-        return self.dataset[1].to_numpy().astype(np.int32)
+        return self._labels
 
     def absolute_path(self, index: int) -> Path:
-        return self.imagenet_path / self.dataset.iloc[index, 0]
+        return self.imagenet_path / str(self._paths[index])
 
     # -- label surgery (parity with reference dataset.py:56-86) ------------
     def has_negatives(self) -> bool:
@@ -73,10 +83,12 @@ class ImagenetDataset:
         """Replace label ``-1`` with ``label_count - 1`` (garbage regime).
 
         Parity: reference ``dataset.py:60-68`` — the biggest label is
-        ``label_count - 1`` since ``-1`` is part of the unique label set.
+        ``label_count - 1`` since ``-1`` is part of the unique label set;
+        ``label_count`` itself is intentionally unchanged.
         """
         biggest_label = self.label_count - 1
-        self.dataset[1] = self.dataset[1].replace(-1, biggest_label)
+        self._labels = np.where(self._labels == -1, biggest_label,
+                                self._labels).astype(np.int32)
         self.unique_classes[self.unique_classes == -1] = biggest_label
         self.unique_classes.sort()
 
@@ -85,16 +97,18 @@ class ImagenetDataset:
 
         Parity: reference ``dataset.py:70-74``.
         """
-        self.dataset = self.dataset[self.dataset[1] >= 0].reset_index(drop=True)
-        self.unique_classes = np.sort(self.dataset[1].unique())
-        self.label_count = len(self.dataset[1].unique())
+        keep = self._labels >= 0
+        self._paths = self._paths[keep]
+        self._labels = self._labels[keep]
+        self.unique_classes = np.unique(self._labels)
+        self.label_count = len(self.unique_classes)
 
     def calculate_class_weights(self) -> np.ndarray:
         """Balanced class weights ``len(ds) / (count_c * label_count)``.
 
-        Parity: reference ``dataset.py:77-86`` (weights ordered by ascending
-        class label, as produced by the groupby there).
+        Parity: reference ``dataset.py:77-86`` (weights ordered by
+        ascending class label, as the pandas groupby there produces).
         """
-        counts = self.dataset.groupby(1).count().to_numpy()
-        class_weights = len(self.dataset) / (counts * self.label_count)
-        return np.squeeze(class_weights).astype(np.float32)
+        _, counts = np.unique(self._labels, return_counts=True)
+        return (len(self._labels) /
+                (counts * self.label_count)).astype(np.float32)
