@@ -92,7 +92,10 @@ def make_pallas_relu_mask(block_rows):
     from jax.experimental import pallas as pl
 
     def kernel(g_ref, m_ref, o_ref):
-        o_ref[...] = jnp.where(m_ref[...] > 0, g_ref[...], 0)
+        # f32 compare: Mosaic on this toolchain rejects bf16 compares
+        # (round-2b finding, same workaround as experimental/fused_block).
+        o_ref[...] = jnp.where(m_ref[...].astype(jnp.float32) > 0,
+                               g_ref[...], 0)
 
     @jax.jit
     def run(g, m):
@@ -110,13 +113,7 @@ def make_pallas_relu_mask(block_rows):
     return run
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--rows", type=int, default=3136)
-    ap.add_argument("--block-rows", type=int, default=392)
-    args = ap.parse_args()
-
-    shape = (8, args.rows, 256)
+def run_shape(shape, block_rows):
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal(shape), jnp.bfloat16)
     b = jnp.asarray(rng.standard_normal(shape), jnp.bfloat16)
@@ -127,16 +124,10 @@ def main():
         ("xla_axpy", chained(lambda y, b: y * 1.0009765625 + b), (x, b)),
         ("xla_relu_mask",
          chained(lambda y, m: jnp.where(m > 0, y, 0)), (x, m)),
+        ("pallas_axpy", chained(make_pallas_axpy(block_rows, 8)), (x, b)),
+        ("pallas_relu_mask",
+         chained(make_pallas_relu_mask(block_rows)), (x, m)),
     ]
-    try:
-        cases += [
-            ("pallas_axpy",
-             chained(make_pallas_axpy(args.block_rows, 8)), (x, b)),
-            ("pallas_relu_mask",
-             chained(make_pallas_relu_mask(args.block_rows)), (x, m))]
-    except Exception as e:  # Mosaic unavailable off-TPU
-        print(json.dumps({"case": "pallas", "error": str(e)[:200]}))
-
     for name, fn, fargs in cases:
         try:
             gbs = bandwidth(fn, fargs, nbytes)
@@ -146,6 +137,20 @@ def main():
         except Exception as e:
             print(json.dumps({"case": name, "error": str(e)[:300]}),
                   flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=3136)
+    ap.add_argument("--block-rows", type=int, default=392)
+    ap.add_argument("--sweep", action="store_true",
+                    help="sweep operand sizes 12.8 MB -> 205 MB")
+    args = ap.parse_args()
+    if args.sweep:
+        for batch, rows in ((8, 3136), (8, 12544), (32, 12544)):
+            run_shape((batch, rows, 256), args.block_rows)
+    else:
+        run_shape((8, args.rows, 256), args.block_rows)
 
 
 if __name__ == "__main__":
