@@ -111,9 +111,12 @@ def build_arm(ghost):
         mask = jnp.ones((BATCH,), jnp.float32)
 
         def body(k, carry):
-            state, _ = carry
+            state, acc = carry
             idx = jax.lax.dynamic_slice_in_dim(perm, k * BATCH, BATCH)
-            return inner(state, images[idx], labels[idx], mask)
+            state, m = inner(state, images[idx], labels[idx], mask)
+            # Accumulate over the whole epoch: the reported train_loss is
+            # the epoch average, not the last batch's sample.
+            return state, jax.tree.map(jnp.add, acc, m)
 
         init_m = {"loss_sum": jnp.zeros(()), "count": jnp.zeros(())}
         return jax.lax.fori_loop(0, spe, body, (state, init_m))
@@ -135,13 +138,22 @@ def run_arm(task, arm, ghost, seed, steps):
     spe = n // BATCH
     host_rng = np.random.default_rng(1000 + seed)
     n_epochs = -(-steps // spe)
+    if n_epochs < 1:
+        raise ValueError(f"--steps must be >= 1 (got {steps})")
+    # Warm the compile OUTSIDE the timing window (one throwaway epoch on a
+    # scratch state), then sync so t0 starts clean.
+    scratch = engine.create_state(model, jax.random.PRNGKey(10_000), tx)
+    warm_perm = jnp.asarray(host_rng.permutation(n).astype(np.int32))
+    scratch, wm = step(scratch, warm_perm, tr_img, tr_lbl)
+    float(wm["loss_sum"])
+    del scratch
     # Each epoch's permutation ships once (one small transfer, not one per
     # step); one dispatch per epoch.
     t0 = time.time()
     for e in range(n_epochs):
         perm = jnp.asarray(host_rng.permutation(n).astype(np.int32))
         state, m = step(state, perm, tr_img, tr_lbl)
-    train_loss = float(m["loss_sum"]) / float(m["count"])
+    train_loss = float(m["loss_sum"]) / float(m["count"])  # final epoch avg
     train_s = time.time() - t0
     steps = n_epochs * spe  # actual steps executed
 

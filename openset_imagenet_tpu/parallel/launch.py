@@ -101,14 +101,16 @@ def _child_env(base: dict, rank: int, nproc: int, port: int,
 
 def spawn(command: Sequence[str], nproc: int, cpu: bool = False,
           devices_per_process: int = 1, port: Optional[int] = None,
-          env: Optional[dict] = None,
-          stream: bool = True) -> List[subprocess.Popen]:
+          env: Optional[dict] = None, stream: bool = True,
+          log_dir: Optional[str] = None) -> List[subprocess.Popen]:
     """Start ``nproc`` coordinated child processes; return their handles.
 
     Low-level form of :func:`launch` for callers that need the PIDs (e.g.
     delivering a preemption signal to ONE rank in tests).  ``command`` is
     an argv suffix executed as ``python -m cmd[0] cmd[1:]`` when ``cmd[0]``
-    looks like a module path, else as a script path.
+    looks like a module path, else as a script path.  ``log_dir`` writes
+    each rank's combined stdout/stderr to ``rank{i}.log`` in that
+    directory (overrides ``stream``).
     """
     if port is None:
         port = _free_port()
@@ -118,25 +120,36 @@ def spawn(command: Sequence[str], nproc: int, cpu: bool = False,
         argv = [sys.executable] + argv
     else:
         argv = [sys.executable, "-m"] + argv
-    return [subprocess.Popen(
-        argv, env=_child_env(base_env, rank, nproc, port, cpu,
-                             devices_per_process),
-        stdout=None if stream else subprocess.DEVNULL,
-        stderr=None if stream else subprocess.DEVNULL)
-        for rank in range(nproc)]
+    procs = []
+    for rank in range(nproc):
+        if log_dir is not None:
+            log = open(os.path.join(log_dir, f"rank{rank}.log"), "wb")
+            out = err = log
+        elif stream:
+            out = err = None
+        else:
+            out = err = subprocess.DEVNULL
+        procs.append(subprocess.Popen(
+            argv, env=_child_env(base_env, rank, nproc, port, cpu,
+                                 devices_per_process),
+            stdout=out, stderr=err))
+    return procs
 
 
 def launch(command: Sequence[str], nproc: int, cpu: bool = False,
            devices_per_process: int = 1, port: Optional[int] = None,
-           env: Optional[dict] = None, stream: bool = True) -> List[int]:
+           env: Optional[dict] = None, stream: bool = True,
+           log_dir: Optional[str] = None,
+           kill_grace_s: float = 30.0) -> List[int]:
     """Run ``command`` in ``nproc`` coordinated processes; return exit codes.
 
     ``command`` is an argv suffix executed as ``python -m cmd[0] cmd[1:]``
     when ``cmd[0]`` looks like a module path, else verbatim.
+    ``log_dir`` captures each rank's output to ``rank{i}.log`` there.
     """
     procs = spawn(command, nproc, cpu=cpu,
                   devices_per_process=devices_per_process, port=port,
-                  env=env, stream=stream)
+                  env=env, stream=stream, log_dir=log_dir)
 
     def _forward(signum, frame):
         for p in procs:
@@ -168,9 +181,18 @@ def launch(command: Sequence[str], nproc: int, cpu: bool = False,
             w.start()
         while any(p.poll() is None for p in procs):
             if fail.is_set():
+                # Survivors may treat SIGTERM as graceful preemption (the
+                # worker does) yet be blocked in a collective that needs
+                # the dead rank — escalate to SIGKILL after a grace
+                # window so launch() can never hang unboundedly.
                 for p in procs:
                     if p.poll() is None:
                         p.terminate()
+                for p in procs:
+                    try:
+                        p.wait(timeout=kill_grace_s)
+                    except subprocess.TimeoutExpired:
+                        p.kill()
                 break
             threading.Event().wait(0.2)
         return [p.wait() for p in procs]
@@ -202,7 +224,11 @@ def get_args(argv=None):
 
 def main(argv=None):
     args = get_args(argv)
-    command = [c for c in args.command if c != "--"]
+    # Strip only the LEADING "--" separator; later "--" tokens belong to
+    # the child command.
+    command = list(args.command)
+    if command and command[0] == "--":
+        command = command[1:]
     if not command:
         raise SystemExit("launch_imagenet: no command given")
     codes = launch(command, nproc=args.nproc, cpu=args.cpu,

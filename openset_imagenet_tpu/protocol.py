@@ -173,9 +173,12 @@ class OpenSetProtocol:
             return self.label_map[class_name]
         # O(1) set membership: called once per image over ~hundreds of
         # thousands of images (the list scan was the builder's hot spot).
-        # update_classes() rebuilds the set whenever neg_classes changes;
-        # this fallback only covers direct neg_classes assignment.
-        if self._neg_set is None:
+        # update_classes() rebuilds the set eagerly whenever it assigns
+        # neg_classes; the length check additionally catches DIRECT
+        # neg_classes reassignment between get_label calls (equal-length
+        # replacement is handled by the eager rebuild).
+        if self._neg_set is None or len(self._neg_set) != len(
+                self.neg_classes):
             self._neg_set = frozenset(self.neg_classes)
         if class_name in self._neg_set:
             return -1

@@ -604,12 +604,12 @@ def worker(cfg) -> dict:
         raise ValueError(f"train_tail must be 'masked' or 'drop', "
                          f"got {tail_mode!r}")
     parallel_mode = getattr(cfg, "parallel_mode", "gspmd") or "gspmd"
-    model_cfg = getattr(cfg, "model", None)
-    fused_blocks = bool(getattr(model_cfg, "fused_blocks", False)) \
-        if model_cfg is not None else False
+    # Built here (before the pipelines) so the tail policy can read the
+    # SAME flags the model was actually built with.
+    model = build_model(cfg, n_classes)
     n_tail = len(train_ds) % int(cfg.batch_size)
     if tail_mode == "masked" and n_tail and (
-            parallel_mode == "shard_map" or fused_blocks):
+            parallel_mode == "shard_map" or model.fused_blocks):
         log.info("train_tail=masked is unsupported with shard_map / fused "
                  "blocks; dropping the ragged tail batch instead")
         tail_mode = "drop"
@@ -627,8 +627,8 @@ def worker(cfg) -> dict:
         process_index=jax.process_index(),
         process_count=jax.process_count())
 
-    # -- model / optimizer / state (reference train.py:350-369) ------------
-    model = build_model(cfg, n_classes)
+    # -- optimizer / state (reference train.py:350-369; model built above
+    # with the tail policy) -------------------------------------------------
     tx = build_optimizer(cfg.opt, steps_per_epoch=max(len(train_pipe), 1))
     state = create_state(model, rng, tx, image_size=image_size)
     state = jax.device_put(state, rep)

@@ -170,6 +170,34 @@ def test_resume_across_process_group_is_bitwise(tmp_path):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+def test_launch_fail_fast_escalates_to_kill(tmp_path):
+    """A rank dying non-zero tears the group down even when survivors
+    ignore SIGTERM (graceful-preemption workers stuck in a collective)."""
+    child = tmp_path / "stubborn.py"
+    child.write_text(
+        "import os, signal, sys, time\n"
+        "if os.environ['OSI_PROCESS_ID'] == '0':\n"
+        "    sys.exit(3)\n"
+        "signal.signal(signal.SIGTERM, signal.SIG_IGN)\n"
+        "time.sleep(300)\n")
+    t0 = time.time()
+    codes = launch([str(child)], nproc=2, kill_grace_s=2.0, stream=False)
+    assert codes[0] == 3
+    assert codes[1] != 0          # SIGKILLed, not hung
+    assert time.time() - t0 < 60
+
+
+def test_launch_preserves_inner_separator(tmp_path):
+    """Only the LEADING -- is stripped from the launched command."""
+    from openset_imagenet_tpu.parallel.launch import get_args
+
+    args = get_args(["--nproc", "1", "--", "mod.x", "a", "--", "b"])
+    command = list(args.command)
+    if command and command[0] == "--":
+        command = command[1:]
+    assert command == ["mod.x", "a", "--", "b"]
+
+
 def test_multihost_batch_divisibility_raise(tmp_path):
     """A global batch not divisible by process_count raises up front."""
     from openset_imagenet_tpu.pipeline import InputPipeline

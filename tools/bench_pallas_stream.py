@@ -1,13 +1,13 @@
 """Pallas (Mosaic) vs XLA-fusion HBM streaming bandwidth microbench.
 
-Round-2b finding (BENCH.md): on jaxlib 0.9 / the axon toolchain, a Pallas
-grid kernel streams HBM at ~160-290 GB/s aggregate while XLA's own fusion
-emitters sustain ~680 GB/s on the same access pattern — which is WHY the
-hand-fused backward blocks (experimental/fused_block.py) lose to XLA
-despite reading strictly fewer bytes.  CLAUDE.md open item: re-run this on
-every toolchain bump; if the Pallas number ever approaches XLA's, the
-stage-1 multi-output fusions become a ~10-15% end-to-end lever and the
-experimental kernels should be re-benched.
+History (BENCH.md): round 2b measured Pallas streaming at ~160-290 GB/s
+vs ~680 GB/s for XLA's fusion emitters; the round-3 re-measure with this
+tool found PARITY at ≥51 MB operands (Pallas 885-908 vs XLA 787-990) —
+yet the fused-backward blocks (experimental/fused_block.py) re-benched
+unchanged (1324 vs 2624 imgs/s), so the residual blocker is the unified
+multi-operand kernel structure and layout perturbation, not bandwidth.
+Re-run on every toolchain bump (`--sweep`) and consult BENCH.md round-3
+before re-attempting the kernels.
 
 Measures, at a production-relevant shape (bf16 [8, 3136, 256] ~ stage-1
 activations, ~12.8 MB/operand):
@@ -19,7 +19,7 @@ activations, ~12.8 MB/operand):
 
 Prints one JSON line per case with aggregate GB/s (bytes moved / time).
 
-Usage: python tools/bench_pallas_stream.py [--unroll 8]
+Usage: python tools/bench_pallas_stream.py [--sweep] [--rows N] [--block-rows K]
 """
 
 import argparse
@@ -66,7 +66,7 @@ def bandwidth(fn, args, nbytes, iters=10, warmup=3):
     return nbytes * iters * CHAIN / dt / 1e9
 
 
-def make_pallas_axpy(block_rows, unroll):
+def make_pallas_axpy(block_rows):
     from jax.experimental import pallas as pl
 
     def kernel(x_ref, b_ref, o_ref):
@@ -74,6 +74,11 @@ def make_pallas_axpy(block_rows, unroll):
 
     @jax.jit
     def run(x, b):
+        if x.shape[1] % block_rows:
+            raise ValueError(
+                f"rows {x.shape[1]} not divisible by block_rows "
+                f"{block_rows}: the grid would silently drop the "
+                "remainder and overstate bandwidth")
         n = x.shape[1] // block_rows
         return pl.pallas_call(
             kernel,
@@ -99,6 +104,11 @@ def make_pallas_relu_mask(block_rows):
 
     @jax.jit
     def run(g, m):
+        if g.shape[1] % block_rows:
+            raise ValueError(
+                f"rows {g.shape[1]} not divisible by block_rows "
+                f"{block_rows}: the grid would silently drop the "
+                "remainder and overstate bandwidth")
         n = g.shape[1] // block_rows
         return pl.pallas_call(
             kernel,
@@ -124,7 +134,7 @@ def run_shape(shape, block_rows):
         ("xla_axpy", chained(lambda y, b: y * 1.0009765625 + b), (x, b)),
         ("xla_relu_mask",
          chained(lambda y, m: jnp.where(m > 0, y, 0)), (x, m)),
-        ("pallas_axpy", chained(make_pallas_axpy(block_rows, 8)), (x, b)),
+        ("pallas_axpy", chained(make_pallas_axpy(block_rows)), (x, b)),
         ("pallas_relu_mask",
          chained(make_pallas_relu_mask(block_rows)), (x, m)),
     ]
