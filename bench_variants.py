@@ -18,12 +18,12 @@ import numpy as np
 
 def build(batch: int, *, s2d=True, ghost=64, steps_mode="gspmd",
           n_classes=1000, fused_loss=False, remat=False, dot_1x1=False,
-          fused_blocks=False, boundary_mask=False):
+          fused_blocks=False, boundary_mask=False, variant="resnet50"):
     from openset_imagenet_tpu import train as engine
     from openset_imagenet_tpu.config import NameSpace
     from openset_imagenet_tpu.models.resnet import build_resnet
 
-    model = build_resnet("resnet50", fc_layer_dim=n_classes,
+    model = build_resnet(variant, fc_layer_dim=n_classes,
                          out_features=n_classes, logit_bias=False,
                          space_to_depth=s2d, bn_stats_rows=ghost,
                          remat=remat, dot_1x1=dot_1x1,
@@ -34,12 +34,27 @@ def build(batch: int, *, s2d=True, ghost=64, steps_mode="gspmd",
     state = engine.create_state(model, jax.random.PRNGKey(0), tx)
     loss_fn = engine.make_loss_fn("entropic", unk_weight=1.0,
                                   fused=fused_loss)
-    step = engine.make_train_step(loss_fn, None)
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.integers(0, 256, (batch, 224, 224, 3),
                                       np.uint8))
     labels = jnp.asarray(rng.integers(-1, n_classes, batch).astype(np.int32))
     mask = jnp.ones((batch,), jnp.float32)
+    if steps_mode == "shard_map":
+        # Explicit-collective mode on a 1-chip mesh: quantifies the
+        # per-device-BN path's single-chip overhead vs GSPMD.
+        from openset_imagenet_tpu.parallel.mesh import (batch_sharding,
+                                                        make_mesh,
+                                                        replicated)
+        from openset_imagenet_tpu.parallel.shard_step import (
+            make_train_step_shard_map)
+        mesh = make_mesh(num_devices=1)
+        state = jax.device_put(state, replicated(mesh))
+        step = make_train_step_shard_map(loss_fn, mesh)
+        sh = batch_sharding(mesh)
+        images, labels, mask = (jax.device_put(x, sh)
+                                for x in (images, labels, mask))
+    else:
+        step = engine.make_train_step(loss_fn, None)
     return state, step, (images, labels, mask)
 
 
@@ -213,6 +228,13 @@ VARIANTS = {
         "/tmp/osi_step_hlo_fusedblk_pallas.txt", ghost=64,
         fused_blocks=True),
     "cost_fusedblk": lambda: cost_analysis(ghost=64, fused_blocks=True),
+    # Deeper variants (capability breadth beyond the reference's ResNet-50).
+    "r101": lambda: run_variant("r101", 256, variant="resnet101"),
+    "r152": lambda: run_variant("r152", 256, variant="resnet152"),
+    "r152_b128": lambda: run_variant("r152_b128", 128, variant="resnet152"),
+    # Explicit-collective shard_map mode on one chip (per-device BN).
+    "shardmap1": lambda: run_variant("shardmap1", 256,
+                                     steps_mode="shard_map"),
     # int8 boundary-ReLU masks on the standard autodiff path.
     "bmask": lambda: run_variant("bmask", 256, ghost=64,
                                  boundary_mask=True),

@@ -79,6 +79,39 @@ def test_process_sharding_partitions_samples():
     np.testing.assert_array_equal(rebuilt, expected)
 
 
+def test_process_sharding_partition_property():
+    """Randomized invariants over (n, batch, P, train):
+    1. the per-process local slices tile each global batch exactly;
+    2. every real sample appears exactly once per epoch;
+    3. padding rows sit at the global TAIL of the last batch — the
+       invariant the masked-tail BN statistics window relies on
+       (train.py tail_step: leading rows are all valid)."""
+    rng = np.random.default_rng(7)
+    for _ in range(12):
+        P = int(rng.choice([1, 2, 4]))
+        per = int(rng.integers(1, 5))
+        batch = per * P
+        n = int(rng.integers(1, 4 * batch + 1))
+        train = bool(rng.integers(0, 2))
+        pipes = [make_pipeline(n=n, batch_size=batch, train=train,
+                               process_index=p, process_count=P)
+                 for p in range(P)]
+        seen = []
+        for batches in zip(*(p.epoch(3) for p in pipes)):
+            gmask = np.concatenate([np.asarray(b.mask) for b in batches])
+            glabels = np.concatenate([np.asarray(b.labels) for b in batches])
+            assert gmask.shape == (batch,)
+            valid = gmask > 0
+            # (3) padding strictly trails the valid rows globally
+            if valid.any():
+                assert valid[:int(valid.sum())].all(), (n, batch, P)
+            seen.extend(glabels[valid].tolist())
+        # (2) each sample exactly once (labels are idx%3-1 over arange)
+        assert len(seen) == n, (n, batch, P, train)
+        expected = sorted((np.arange(n) % 3 - 1).tolist())
+        assert sorted(seen) == expected
+
+
 def test_sharded_device_put():
     import jax
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
