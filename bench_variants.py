@@ -18,12 +18,13 @@ import numpy as np
 
 def build(batch: int, *, s2d=True, ghost=64, steps_mode="gspmd",
           n_classes=1000, fused_loss=False, remat=False, dot_1x1=False,
-          fused_blocks=False, boundary_mask=False, variant="resnet50"):
+          fused_blocks=False, boundary_mask=False,
+          model_variant="resnet50"):
     from openset_imagenet_tpu import train as engine
     from openset_imagenet_tpu.config import NameSpace
     from openset_imagenet_tpu.models.resnet import build_resnet
 
-    model = build_resnet(variant, fc_layer_dim=n_classes,
+    model = build_resnet(model_variant, fc_layer_dim=n_classes,
                          out_features=n_classes, logit_bias=False,
                          space_to_depth=s2d, bn_stats_rows=ghost,
                          remat=remat, dot_1x1=dot_1x1,
@@ -229,9 +230,9 @@ VARIANTS = {
         fused_blocks=True),
     "cost_fusedblk": lambda: cost_analysis(ghost=64, fused_blocks=True),
     # Deeper variants (capability breadth beyond the reference's ResNet-50).
-    "r101": lambda: run_variant("r101", 256, variant="resnet101"),
-    "r152": lambda: run_variant("r152", 256, variant="resnet152"),
-    "r152_b128": lambda: run_variant("r152_b128", 128, variant="resnet152"),
+    "r101": lambda: run_variant("r101", 256, model_variant="resnet101"),
+    "r152": lambda: run_variant("r152", 256, model_variant="resnet152"),
+    "r152_b128": lambda: run_variant("r152_b128", 128, model_variant="resnet152"),
     # Explicit-collective shard_map mode on one chip (per-device BN).
     "shardmap1": lambda: run_variant("shardmap1", 256,
                                      steps_mode="shard_map"),
