@@ -1,0 +1,258 @@
+"""End-to-end CLI workflow drive on a fully synthetic dataset.
+
+Exercises the COMPLETE user workflow through the real console-script
+surfaces, starting from raw (synthetic) metadata — the same five steps a
+reference user runs, plus the multi-host launcher:
+
+  0. protocols_imagenet  — synthetic WordNet metadata + ImageNet tree
+                           -> p1_{train,val,test}.csv (real protocol
+                           builder, stratified split, label assignment)
+  1. train_imagenet      — ResNet-50 on the GENERATED csvs (CPU, 64x64)
+  2. evaluate_imagenet   — logits/features/scores npz for val+test
+  3. launch_imagenet     — the same train+evaluate under a REAL 2-process
+                           jax.distributed cluster (skip with --skip-mp)
+  4. plot_imagenet       — OSCR/confidence PDF + LaTeX table
+  5. a learning bar: known-class test accuracy >= --min-acc
+
+The synthetic world: every protocol-1 superclass gets leaf classes —
+known (dog) leaves are saturated colors, negative/unknown leaves are
+grays/darks — so the task is learnable and the protocol composition is
+non-trivial (negatives outnumber knowns 2:1).
+
+This is the `verify` skill's drive recipe in committed form:
+  python tools/drive_cli.py [--loss garbage] [--epochs N] [--skip-mp]
+"""
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+from pathlib import Path
+
+import numpy as np
+from PIL import Image
+
+# Protocol-1 superclasses (must match openset_imagenet_tpu/protocol.py).
+DOG = "n02084071"
+NEGS = ("n02118333", "n02115335", "n02114100", "n02120997", "n02131653",
+        "n02441326", "n02370806", "n02469914")
+UNKS = ("n07555863", "n03791235", "n03183080")
+
+KN_COLORS = [(220, 40, 40), (40, 220, 40), (40, 40, 220), (220, 220, 40)]
+
+
+def build_metadata(meta: Path):
+    """Minimal robustness-layout metadata: every superclass gets leaves."""
+    meta.mkdir(parents=True)
+    edges, words, leaves = [], {}, {}
+    wid = 9000000
+
+    def leaf(parent, n):
+        nonlocal wid
+        out = []
+        for _ in range(n):
+            wid += 1
+            w = f"n{wid:08d}"
+            edges.append((parent, w))
+            words[w] = f"leaf_{w}"
+            out.append(w)
+        return out
+
+    for sc in (DOG,) + NEGS + UNKS:
+        words[sc] = f"super_{sc}"
+    leaves[DOG] = leaf(DOG, len(KN_COLORS))
+    for sc in NEGS:
+        leaves[sc] = leaf(sc, 1)
+    for sc in UNKS:
+        leaves[sc] = leaf(sc, 1)
+
+    with open(meta / "wordnet.is_a.txt", "w") as f:
+        f.writelines(f"{p} {c}\n" for p, c in edges)
+    with open(meta / "words.txt", "w") as f:
+        f.writelines(f"{w}\t{name}\n" for w, name in words.items())
+    all_leaves = [w for group in leaves.values() for w in group]
+    with open(meta / "imagenet_class_index.json", "w") as f:
+        json.dump({str(i): [w, words[w]] for i, w in enumerate(all_leaves)},
+                  f)
+    return leaves
+
+
+def leaf_color(leaves, wnid):
+    if wnid in leaves[DOG]:
+        return KN_COLORS[leaves[DOG].index(wnid)]
+    if any(wnid in leaves[sc] for sc in NEGS):
+        g = 100 + 20 * (hash(wnid) % 5)
+        return (g, g, g)
+    return (25, 25, 25)
+
+
+def build_imagenet(root: Path, leaves, train_n=10, val_n=5, rng=None):
+    rng = rng or np.random.default_rng(0)
+    for split, n in (("train", train_n), ("val", val_n)):
+        for group in leaves.values():
+            for wnid in group:
+                d = root / split / wnid
+                d.mkdir(parents=True)
+                for k in range(n):
+                    arr = np.clip(rng.normal(0, 18, (64, 64, 3))
+                                  + leaf_color(leaves, wnid), 0, 255)
+                    Image.fromarray(arr.astype(np.uint8)).save(
+                        d / f"{wnid}_{k}.JPEG", quality=92)
+
+
+def run(label, args, env, cwd):
+    print(f"--- {label}: {' '.join(map(str, args))}", flush=True)
+    p = subprocess.run([sys.executable, "-m"] + [str(a) for a in args],
+                       env=env, capture_output=True, text=True, cwd=cwd)
+    if p.returncode != 0:
+        err = "\n".join(l for l in p.stderr.splitlines()
+                        if "axon" not in l.lower())
+        print(p.stdout[-3000:])
+        print(err[-5000:])
+        raise SystemExit(f"{label} FAILED rc={p.returncode}")
+    return p
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--loss", default="garbage",
+                    choices=("entropic", "softmax", "garbage"))
+    ap.add_argument("--epochs", type=int, default=0,
+                    help="0 = per-loss default (12; softmax 8)")
+    ap.add_argument("--min-acc", type=float, default=0.75)
+    ap.add_argument("--skip-mp", action="store_true",
+                    help="skip the 2-process launcher stage")
+    ap.add_argument("--keep", action="store_true",
+                    help="keep the scratch tree (prints its path)")
+    args = ap.parse_args()
+    loss = args.loss
+    epochs = args.epochs or (8 if loss == "softmax" else 12)
+
+    root = Path(tempfile.mkdtemp(prefix="osi_drive_"))
+    env = dict(os.environ)
+    env["OSI_JAX_PLATFORM"] = "cpu"
+    env["JAX_PLATFORMS"] = "cpu"
+    env.setdefault("JAX_COMPILATION_CACHE_DIR",
+                   str(Path(__file__).resolve().parent.parent
+                       / "tests" / ".jax_cache"))
+
+    # 0. protocol generation from synthetic metadata
+    leaves = build_metadata(root / "meta")
+    build_imagenet(root, leaves)
+    run("protocols", ["openset_imagenet_tpu.script.protocols",
+                      "--protocols", "1",
+                      "--imagenet-directory", root,
+                      "--metadata-directory", root / "meta",
+                      "--output-directory", root / "protocols"],
+        env, root)
+    train_csv = root / "protocols" / "p1_train.csv"
+    assert train_csv.exists()
+    rows = train_csv.read_text().strip().splitlines()
+    labels = sorted({int(r.rsplit(",", 1)[1]) for r in rows})
+    assert labels[0] == -1 and labels[1:] == list(range(len(KN_COLORS))), \
+        labels  # negatives + all known classes present in train
+
+    # 1. train
+    out = root / "experiments" / "Protocol_1"
+    out.mkdir(parents=True)
+    cfg = f"""
+name: {loss}
+checkpoint: null
+log_name: {loss}.log
+train_mode: train
+gpu: null
+parallel: true
+data:
+  imagenet_path: {root}
+  train_file: {root}/protocols/p{{}}_train.csv
+  val_file: {root}/protocols/p{{}}_val.csv
+  test_file: {root}/protocols/p{{}}_test.csv
+  reader: pil
+  image_size: 64
+seed: 42
+batch_size: 16
+epochs: {epochs}
+workers: 2
+patience: 0
+loss:
+  type: {loss}
+  w: 1.0
+opt:
+  type: adam
+  lr: 0.001
+  decay: 0
+  gamma: 1
+model:
+  variant: resnet50
+  bn_stats_rows: 8
+protocol: 1
+output_directory: {out}
+"""
+    (root / "train.yaml").write_text(cfg)
+    run("train", ["openset_imagenet_tpu.script.train",
+                  root / "train.yaml", "1", "-o", out], env, root)
+    assert "Training finished" in (out / f"{loss}.log").read_text()
+    assert (out / f"{loss}_curr.pth").exists()
+
+    # 2. evaluate
+    eval_args = ["openset_imagenet_tpu.script.evaluate", loss, "1",
+                 "--imagenet-directory", root,
+                 "--protocol-directory", root / "protocols",
+                 "--output-directory", out,
+                 "--batch-size", "16", "--workers", "2",
+                 "--image-size", "64", "--reader", "pil"]
+    run("evaluate", eval_args, env, root)
+    for split in ("val", "test"):
+        arr = np.load(out / f"{loss}_{split}_arr_curr.npz")
+        np.testing.assert_allclose(arr["scores"].sum(1), 1.0, rtol=1e-4)
+
+    # 3. the same train CLI under a real 2-process cluster
+    if not args.skip_mp:
+        mp_out = root / "experiments_mp" / "Protocol_1"
+        mp_out.mkdir(parents=True)
+        (root / "train_mp.yaml").write_text(
+            cfg.replace(str(out), str(mp_out))
+               .replace(f"epochs: {epochs}", "epochs: 1"))
+        run("launch+train",
+            ["openset_imagenet_tpu.parallel.launch", "--nproc", "2",
+             "--cpu", "--devices-per-process", "2",
+             "openset_imagenet_tpu.script.train",
+             root / "train_mp.yaml", "1", "-o", mp_out], env, root)
+        events = list(mp_out.glob("events.out.tfevents*"))
+        assert len(events) == 1, f"lead-only write violated: {events}"
+        run("launch+evaluate",
+            ["openset_imagenet_tpu.parallel.launch", "--nproc", "2",
+             "--cpu", "--devices-per-process", "2"]
+            + eval_args[:7] + ["--output-directory", mp_out]
+            + eval_args[9:], env, root)
+        assert (mp_out / f"{loss}_val_arr_curr.npz").exists()
+
+    # 4. plot
+    run("plot", ["openset_imagenet_tpu.script.plot_all",
+                 "--protocols", "1", "--loss-functions", loss,
+                 "--labels",
+                 {"entropic": "EOS", "softmax": "S", "garbage": "BG"}[loss],
+                 "--output-directory", out.parent,
+                 "--imagenet-directory", root,
+                 "--protocol-directory", root / "protocols"], env, root)
+    assert (root / "Results_last.pdf").exists()
+
+    # 5. learning bar
+    test = np.load(out / f"{loss}_test_arr_curr.npz")
+    kn = test["gt"] >= 0
+    acc = (test["scores"][kn, :len(KN_COLORS)].argmax(1)
+           == test["gt"][kn]).mean()
+    print(f"known-class accuracy on test: {acc:.2f}")
+    assert acc >= args.min_acc, f"model failed to learn: acc={acc}"
+    print("DRIVE OK:", loss, "tree at", root)
+    if args.keep:
+        print(f"kept: {root}")
+    else:
+        shutil.rmtree(root)
+
+
+if __name__ == "__main__":
+    main()
