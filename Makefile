@@ -14,6 +14,11 @@ dryrun:
 # Full local validation: suite + virtual-mesh dryrun + quickstart chain.
 verify: test dryrun quickstart
 
+# End-to-end CLI workflow on a synthetic world (protocols -> train ->
+# evaluate -> 2-process launcher -> plot -> learning bar).
+drive:
+	python tools/drive_cli.py --loss garbage
+
 # Data-gated parity validation: run the moment the real artifacts exist
 # (none are fetchable in this image — zero egress).  Expected inputs:
 #   OSI_IMAGENET_METADATA   dir with wordnet.is_a.txt, words.txt,

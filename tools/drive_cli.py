@@ -121,7 +121,9 @@ def main():
     ap.add_argument("--loss", default="garbage",
                     choices=("entropic", "softmax", "garbage"))
     ap.add_argument("--epochs", type=int, default=0,
-                    help="0 = per-loss default (12; softmax 8)")
+                    help="0 = per-loss default (12; softmax 20 — it "
+                         "trains on only the 32 known rows, so 8 epochs "
+                         "= 16 Adam steps is borderline-random)")
     ap.add_argument("--min-acc", type=float, default=0.75)
     ap.add_argument("--skip-mp", action="store_true",
                     help="skip the 2-process launcher stage")
@@ -129,7 +131,7 @@ def main():
                     help="keep the scratch tree (prints its path)")
     args = ap.parse_args()
     loss = args.loss
-    epochs = args.epochs or (8 if loss == "softmax" else 12)
+    epochs = args.epochs or (20 if loss == "softmax" else 12)
 
     root = Path(tempfile.mkdtemp(prefix="osi_drive_"))
     env = dict(os.environ)
