@@ -159,6 +159,109 @@ def test_in_imagenet_class_as_ancestor_of_another(tmp_path):
                     == sorted(theirs[wnid].descendants_all)), (order, wnid)
 
 
+# -- full protocol-split equivalence on random DAGs --------------------------
+
+def reference_update_classes(protocol, kn_super, neg_super, unk_super,
+                             descendants):
+    """Literal transcription of reference ``protocol.py:125-168``:
+    P1 group concat / P2 sorted-pool half-split / P3 index interleave
+    (even -> kn; odd%3==0 -> unk; other odd -> neg), then dedup+sort and
+    the sorted-order label map."""
+    kn, neg, unk = [], [], []
+    if protocol == 1:
+        for s in kn_super:
+            kn.extend(descendants(s))
+        for s in neg_super:
+            neg.extend(descendants(s))
+        for s in unk_super:
+            unk.extend(descendants(s))
+    elif protocol == 2:
+        all_desc = []
+        for s in kn_super:
+            all_desc.extend(descendants(s))
+        middle = len(all_desc) // 2
+        kn.extend(all_desc[:middle])
+        neg.extend(all_desc[middle:])
+        for s in unk_super:
+            unk.extend(descendants(s))
+    else:
+        for s in kn_super:
+            for idx, cls in enumerate(descendants(s)):
+                if idx % 2 == 0:
+                    kn.append(cls)
+                elif idx % 2 != 0 and idx % 3 == 0:
+                    unk.append(cls)
+                elif idx % 2 != 0 and idx % 3 != 0:
+                    neg.append(cls)
+        for s in unk_super:
+            unk.extend(descendants(s))
+    kn = sorted(set(kn))
+    neg = sorted(set(neg))
+    unk = sorted(set(unk))
+    return kn, neg, unk, dict(zip(kn, range(len(kn))))
+
+
+@pytest.mark.parametrize("protocol", [1, 2, 3])
+@pytest.mark.parametrize("seed", [10, 11, 12])
+def test_protocol_splits_match_reference_on_random_dags(protocol, seed,
+                                                        tmp_path):
+    """End-to-end split parity: OUR OpenSetProtocol.update_classes ==
+    (robustness-tree descendants) + (reference split rules), with random
+    superclass choices on random multi-parent DAGs.  Locks not just the
+    descendant SETS but the ORDER-dependent P2 half-split and P3
+    interleave, plus label-map assignment and get_label."""
+    from openset_imagenet_tpu.protocol import OpenSetProtocol
+
+    rng = np.random.default_rng(seed)
+    edges, in_wnids = random_dag(rng)
+    write_metadata(tmp_path, edges, in_wnids)
+    theirs = robustness_tree(edges, in_wnids)
+    in_set = set(in_wnids)
+
+    def ref_descendants(wnid):
+        # reference get_descendants_wid: sorted in-ImageNet descendants
+        return sorted(w for w in theirs[wnid].descendants_all
+                      if w in in_set)
+
+    # Random superclass picks among internal nodes with >= 4 descendants.
+    rich = [w for w, n in theirs.items()
+            if len(n.descendants_all & in_set) >= 4]
+    assert len(rich) >= 6, "DAG too sparse for the fuzz"
+    picks = [str(w) for w in
+             rng.choice(np.asarray(rich, object), 6, replace=False)]
+    kn_super, neg_super, unk_super = picks[:2], picks[2:4], picks[4:6]
+    if protocol == 2:
+        neg_super = kn_super  # reference P2: negatives share the pool
+
+    p = OpenSetProtocol(tmp_path, tmp_path, protocol)
+    p.kn_superclasses = kn_super
+    p.neg_superclasses = neg_super
+    p.unk_superclasses = unk_super
+    p.update_classes()
+
+    kn, neg, unk, label_map = reference_update_classes(
+        protocol, kn_super, neg_super, unk_super, ref_descendants)
+    assert p.kn_classes == kn
+    assert p.neg_classes == neg
+    assert p.unk_classes == unk
+    assert p.label_map == label_map
+    for cls in kn:
+        assert p.get_label(cls) == label_map[cls]
+    # get_label precedence parity (reference protocol.py:193-204): known
+    # wins over negative, negative over unknown, else -2.
+    for cls in neg:
+        expect = label_map[cls] if cls in label_map else -1
+        assert p.get_label(cls) == expect
+    for cls in unk:
+        if cls in label_map:
+            expect = label_map[cls]
+        elif cls in set(neg):
+            expect = -1
+        else:
+            expect = -2
+        assert p.get_label(cls) == expect
+
+
 # -- real-metadata integration (runs when the user supplies the files) ------
 
 @pytest.mark.skipif("OSI_IMAGENET_METADATA" not in os.environ,

@@ -127,6 +127,12 @@ def main():
     ap.add_argument("--min-acc", type=float, default=0.75)
     ap.add_argument("--skip-mp", action="store_true",
                     help="skip the 2-process launcher stage")
+    ap.add_argument("--tpu", action="store_true",
+                    help="run train/evaluate on the REAL accelerator "
+                         "(validates the production path — masked tail, "
+                         "fused Pallas loss — on hardware; implies "
+                         "--skip-mp; tiny 64x64 batches keep host->device "
+                         "transfers negligible)")
     ap.add_argument("--keep", action="store_true",
                     help="keep the scratch tree (prints its path)")
     args = ap.parse_args()
@@ -135,8 +141,13 @@ def main():
 
     root = Path(tempfile.mkdtemp(prefix="osi_drive_"))
     env = dict(os.environ)
-    env["OSI_JAX_PLATFORM"] = "cpu"
-    env["JAX_PLATFORMS"] = "cpu"
+    if args.tpu:
+        # Real accelerator: leave the site-pinned platform alone (do NOT
+        # touch PYTHONPATH — that is what activates the TPU plugin).
+        args.skip_mp = True
+    else:
+        env["OSI_JAX_PLATFORM"] = "cpu"
+        env["JAX_PLATFORMS"] = "cpu"
     env.setdefault("JAX_COMPILATION_CACHE_DIR",
                    str(Path(__file__).resolve().parent.parent
                        / "tests" / ".jax_cache"))
