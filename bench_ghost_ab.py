@@ -191,11 +191,17 @@ def run_arm(task, arm, ghost, seed, steps):
 
 
 def main():
+    global AMP, SIGMA
     ap = argparse.ArgumentParser()
     ap.add_argument("--ghosts", default="64,32,16")
     ap.add_argument("--seeds", type=int, default=3)
     ap.add_argument("--steps", type=int, default=400)
+    ap.add_argument("--amp", type=float, default=AMP,
+                    help="prototype amplitude (task difficulty knob: "
+                         "2 = hard/early-training regime, 4-6 = moderate)")
+    ap.add_argument("--sigma", type=float, default=SIGMA)
     args = ap.parse_args()
+    AMP, SIGMA = args.amp, args.sigma
 
     jax.config.update("jax_compilation_cache_dir",
                       "/root/repo/tests/.jax_cache")
