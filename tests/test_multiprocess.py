@@ -113,6 +113,23 @@ def test_two_process_train_matches_single_process(tmp_path):
 
 
 @pytest.mark.slow
+def test_four_process_cluster_runs_and_agrees(tmp_path):
+    """4 procs x 1 device each: the same worker + allgather eval."""
+    write_protocol_csvs(tmp_path)
+    codes = launch([CHILD, "--dir", str(tmp_path), "--epochs", "1",
+                    "--tag", "p4", "--out-sub", "out_p4"],
+                   nproc=4, cpu=True, devices_per_process=1)
+    assert codes == [0, 0, 0, 0]
+    res = _results(tmp_path, "p4", 4)
+    assert [r["process_index"] for r in res] == [0, 1, 2, 3]
+    assert all(r["n_global_devices"] == 4 for r in res)
+    arrays = [_arrays(tmp_path, "p4", pid) for pid in range(4)]
+    for other in arrays[1:]:
+        for key in ("gt", "logits", "features", "scores"):
+            np.testing.assert_array_equal(arrays[0][key], other[key])
+
+
+@pytest.mark.slow
 def test_sigterm_to_one_rank_stops_all_ranks_at_same_epoch(tmp_path):
     """Preemption skew: a signal on rank 1 only stops BOTH ranks cleanly."""
     write_protocol_csvs(tmp_path)
