@@ -664,12 +664,18 @@ def worker(cfg) -> dict:
         # (the shuffled order is sliced before -1 fill, pipeline.py
         # _local_slice), so a leading-rows statistics window of exactly
         # n_tail rows sees only valid samples.  An existing ghost-BN window
-        # smaller than the tail keeps its configured size.
+        # smaller than the tail keeps its configured size — and in that
+        # common case (e.g. ghost-64, tail 144) the window already sees
+        # only valid rows, so the REGULAR step is the tail step: no second
+        # full-model compile (~3.5 min cold on the chip, BENCH.md round-3).
         g = int(model.bn_stats_rows)
-        tail_rows = n_tail if (g == 0 or g > n_tail) else g
-        tail_step = make_train_step(loss_fn, mesh,
-                                    apply_fn=model.clone(
-                                        bn_stats_rows=tail_rows).apply)
+        if 0 < g <= n_tail:
+            tail_step = train_step
+        else:
+            tail_rows = n_tail
+            tail_step = make_train_step(loss_fn, mesh,
+                                        apply_fn=model.clone(
+                                            bn_stats_rows=tail_rows).apply)
     eval_step = make_eval_step(loss_fn, cfg.loss.type, n_classes, mesh)
 
     patience = int(getattr(cfg, "patience", 0) or 0)

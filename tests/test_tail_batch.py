@@ -183,6 +183,66 @@ def test_worker_masked_tail_end_to_end(tmp_path):
         engine.worker(cfg3)
 
 
+def test_ghost_window_within_tail_reuses_the_main_step():
+    """ghost <= n_tail: the regular step's stats window already covers
+    only valid rows, so the tail must NOT compile a second program —
+    semantics checked by tail_step_equals_unpadded_batch[2] above."""
+    import jax.numpy as jnp
+
+    valid, batch, ghost = 5, 8, 2
+    rng = np.random.default_rng(3)
+    images, labels = _batch(rng, valid)
+    model = build_resnet("tiny", fc_layer_dim=4, out_features=4,
+                         bn_stats_rows=ghost, dtype=jnp.float32)
+    loss_fn = engine.make_loss_fn("entropic")
+    step = engine.make_train_step(loss_fn)
+
+    pad_images = np.concatenate(
+        [images, images[np.arange(batch - valid) % valid]])
+    pad_labels = np.concatenate([labels, np.zeros(batch - valid, np.int32)])
+    mask = (np.arange(batch) < valid).astype(np.float32)
+
+    # Regular step on the padded tail == dedicated tail step, bitwise
+    # (same model: stats_rows == ghost in both).
+    s1, m1 = step(_make_state(model), pad_images, pad_labels, mask)
+    tail = engine.make_train_step(
+        loss_fn, apply_fn=model.clone(bn_stats_rows=ghost).apply)
+    s2, m2 = tail(_make_state(model), pad_images, pad_labels, mask)
+    assert float(m1["loss_sum"]) == float(m2["loss_sum"])
+    for x, y in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_worker_reuses_main_step_for_ghost_tail(tmp_path, monkeypatch):
+    """Worker wiring: ghost<=tail -> tail_step IS train_step (no second
+    compile); ghost==0 -> a dedicated tail step is built."""
+    captured = {}
+    orig_train_epoch = engine.train_epoch
+
+    def spy(state, pipeline, epoch, train_step, trackers, progress=False,
+            tail_step=None):
+        captured["same"] = tail_step is train_step
+        captured["has_tail"] = tail_step is not None
+        return orig_train_epoch(state, pipeline, epoch, train_step,
+                                trackers, progress=progress,
+                                tail_step=tail_step)
+
+    monkeypatch.setattr(engine, "train_epoch", spy)
+    write_protocol_csvs(tmp_path)  # 37 samples, batch 8 -> tail 5
+
+    cfg = tiny_cfg(tmp_path, "entropic", epochs=1)
+    cfg.model = __import__("openset_imagenet_tpu.config",
+                           fromlist=["NameSpace"]).NameSpace(
+        {"variant": "tiny", "bn_stats_rows": 2})
+    engine.worker(cfg)
+    assert captured == {"same": True, "has_tail": True}
+
+    cfg = tiny_cfg(tmp_path, "entropic", epochs=1)
+    cfg.output_directory = Path(tmp_path / "out0")
+    engine.worker(cfg)  # full-batch BN: dedicated tail step
+    assert captured == {"same": False, "has_tail": True}
+
+
 def test_eval_pipelines_never_drop(tmp_path):
     """Eval/extraction must see every sample regardless of tail policy."""
     write_protocol_csvs(tmp_path)
