@@ -111,6 +111,33 @@ def run_variant(name, batch, **kw):
     del state, step, arrays
 
 
+def run_forward(name, batch, **kw):
+    """Inference path: eval-mode forward (the serving/extraction step)."""
+    from openset_imagenet_tpu import train as engine
+
+    t0 = time.time()
+    state, _, arrays = build(batch, **kw)
+    fwd = engine.make_forward_step()
+    images = arrays[0]
+    for _ in range(4):
+        logits, feats, scores = fwd(state, images)
+    float(jnp.sum(scores[0]))  # sync
+    rates = []
+    for _ in range(3):
+        t1 = time.perf_counter()
+        for _ in range(20):
+            logits, feats, scores = fwd(state, images)
+        s = float(jnp.sum(scores[0]))
+        if not np.isfinite(s):
+            raise RuntimeError(f"non-finite scores: {s}")
+        rates.append(batch * 20 / (time.perf_counter() - t1))
+    rate = float(np.median(rates))
+    emit(variant=name, batch=batch, imgs_per_sec=round(rate, 1),
+         ms_per_step=round(1000.0 * batch / rate, 2),
+         build_s=round(time.time() - t0, 1))
+    del state, arrays
+
+
 def hlo_dump(path="/tmp/osi_step_hlo.txt", batch=256, **kw):
     """Dump the optimized HLO of the compiled step for fusion attribution."""
     state, step, arrays = build(batch, **kw)
@@ -229,6 +256,9 @@ VARIANTS = {
         "/tmp/osi_step_hlo_fusedblk_pallas.txt", ghost=64,
         fused_blocks=True),
     "cost_fusedblk": lambda: cost_analysis(ghost=64, fused_blocks=True),
+    # Inference/serving path: forward-only (logits/features/scores).
+    "infer": lambda: run_forward("infer", 256),
+    "infer_b512": lambda: run_forward("infer_b512", 512),
     # Deeper variants (capability breadth beyond the reference's ResNet-50).
     "r101": lambda: run_variant("r101", 256, model_variant="resnet101"),
     "r152": lambda: run_variant("r152", 256, model_variant="resnet152"),
