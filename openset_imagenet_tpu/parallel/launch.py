@@ -45,12 +45,21 @@ AUTO_ENV = "OSI_DISTRIBUTED"
 _initialized = False
 
 
-def maybe_initialize(timeout_s: Optional[int] = None) -> bool:
+def maybe_initialize(timeout_s: Optional[int] = None,
+                     start_barrier_s: int = 600) -> bool:
     """Bring up ``jax.distributed`` if a multi-process contract is present.
 
     Returns True when running distributed (after this call), False for
     plain single-process runs.  Idempotent: safe to call from both a CLI
     main and the engine worker.
+
+    ``start_barrier_s``: after joining, wait (via the coordination
+    service, NOT a device collective) until every process has initialized
+    before returning.  Cold-start skew — hosts importing jax / loading
+    site hooks at different speeds — otherwise eats into the transport
+    layer's own short rendezvous window at the FIRST collective (Gloo's
+    context init times out after 30 s measured on CPU clusters; a loaded
+    host can spread process start-up well past that).  0 disables.
     """
     global _initialized
     if _initialized:
@@ -73,6 +82,28 @@ def maybe_initialize(timeout_s: Optional[int] = None) -> bool:
     else:  # auto: TPU pod / cluster env auto-detection
         jax.distributed.initialize()
     _initialized = True
+    if start_barrier_s:
+        try:  # coordination-service barrier (jax keeps this semi-private)
+            from jax._src import distributed as _dist
+            client = getattr(_dist.global_state, "client", None)
+            if client is not None:
+                client.wait_at_barrier("osi_start",
+                                       timeout_in_ms=start_barrier_s * 1000)
+        except Exception:  # barrier is best-effort hardening only
+            pass
+        # Establish the cross-process device transport NOW, while every
+        # rank sits microseconds apart: the transport's own rendezvous
+        # window (Gloo context init: hard 30 s, no knob) must never race
+        # later per-rank skew — e.g. one rank hitting a warm compile
+        # cache while another compiles for a minute.  One scalar
+        # allgather creates the context; every later collective reuses
+        # it.  On TPU pods the transport is ICI and this is a no-op-cost
+        # sanity ping.
+        from jax.experimental import multihost_utils
+        import numpy as _np
+        ranks = multihost_utils.process_allgather(
+            _np.int32(jax.process_index()))
+        assert len(_np.ravel(ranks)) == jax.process_count()
     return True
 
 

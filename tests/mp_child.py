@@ -28,9 +28,11 @@ def main():
     p.add_argument("--tag", default="run")
     args = p.parse_args()
 
-    # Join the cluster BEFORE any backend use.
+    # Join the cluster BEFORE any backend use.  Generous timeouts: N jax
+    # imports contend for this box's few cores, spreading process start-up
+    # by tens of seconds.
     from openset_imagenet_tpu.parallel.launch import maybe_initialize
-    distributed = maybe_initialize(timeout_s=60)
+    distributed = maybe_initialize(timeout_s=300)
 
     import jax
 
