@@ -181,6 +181,7 @@ def run_arm(task, arm, ghost, seed, steps):
                       np.sort(fpr))) if len(ccr) else 0.0
 
     rec = {"ghost": ghost, "seed": seed, "steps": steps,
+           "amp": AMP, "sigma": SIGMA,  # operating point (regime!)
            "train_loss": round(train_loss, 4),
            "gamma": round(conf_kn + conf_unk, 4),
            "conf_kn": round(conf_kn, 4), "conf_unk": round(conf_unk, 4),
@@ -225,7 +226,8 @@ def main():
                                4),
             "oscr_std": round(float(np.std([r["oscr_auc"] for r in rs])), 4),
         }
-    print(json.dumps({"summary": summary}), flush=True)
+    print(json.dumps({"summary": summary, "amp": AMP, "sigma": SIGMA}),
+          flush=True)
 
 
 if __name__ == "__main__":

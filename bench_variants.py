@@ -42,18 +42,15 @@ def build(batch: int, *, s2d=True, ghost=64, steps_mode="gspmd",
     mask = jnp.ones((batch,), jnp.float32)
     if steps_mode == "shard_map":
         # Explicit-collective mode on a 1-chip mesh: quantifies the
-        # per-device-BN path's single-chip overhead vs GSPMD.
-        from openset_imagenet_tpu.parallel.mesh import (batch_sharding,
-                                                        make_mesh,
-                                                        replicated)
+        # per-device-BN path's single-chip overhead vs GSPMD.  Placement
+        # via the production helper so the bench cannot drift from it.
+        from openset_imagenet_tpu.parallel.mesh import make_mesh
         from openset_imagenet_tpu.parallel.shard_step import (
-            make_train_step_shard_map)
+            make_train_step_shard_map, place_for_shard_map)
         mesh = make_mesh(num_devices=1)
-        state = jax.device_put(state, replicated(mesh))
         step = make_train_step_shard_map(loss_fn, mesh)
-        sh = batch_sharding(mesh)
-        images, labels, mask = (jax.device_put(x, sh)
-                                for x in (images, labels, mask))
+        state, (images, labels, mask) = place_for_shard_map(
+            state, (images, labels, mask), mesh)
     else:
         step = engine.make_train_step(loss_fn, None)
     return state, step, (images, labels, mask)

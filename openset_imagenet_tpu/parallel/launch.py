@@ -89,8 +89,15 @@ def maybe_initialize(timeout_s: Optional[int] = None,
             if client is not None:
                 client.wait_at_barrier("osi_start",
                                        timeout_in_ms=start_barrier_s * 1000)
-        except Exception:  # barrier is best-effort hardening only
-            pass
+        except Exception as exc:  # best-effort hardening — but LOUDLY:
+            # a silent skip would undetectably reintroduce the rendezvous
+            # race the barrier exists to prevent (e.g. after a jaxlib
+            # bump renames these internals).
+            import warnings
+            warnings.warn(
+                f"distributed start barrier unavailable ({exc!r}); "
+                "proceeding without it — transport init may race rank "
+                "start-up skew", stacklevel=2)
         # Establish the cross-process device transport NOW, while every
         # rank sits microseconds apart: the transport's own rendezvous
         # window (Gloo context init: hard 30 s, no knob) must never race
@@ -103,7 +110,10 @@ def maybe_initialize(timeout_s: Optional[int] = None,
         import numpy as _np
         ranks = multihost_utils.process_allgather(
             _np.int32(jax.process_index()))
-        assert len(_np.ravel(ranks)) == jax.process_count()
+        if len(_np.ravel(ranks)) != jax.process_count():
+            raise RuntimeError(
+                f"transport warm-up allgather saw {len(_np.ravel(ranks))} "
+                f"ranks, expected {jax.process_count()}")
     return True
 
 

@@ -183,36 +183,6 @@ def test_worker_masked_tail_end_to_end(tmp_path):
         engine.worker(cfg3)
 
 
-def test_ghost_window_within_tail_reuses_the_main_step():
-    """ghost <= n_tail: the regular step's stats window already covers
-    only valid rows, so the tail must NOT compile a second program —
-    semantics checked by tail_step_equals_unpadded_batch[2] above."""
-    import jax.numpy as jnp
-
-    valid, batch, ghost = 5, 8, 2
-    rng = np.random.default_rng(3)
-    images, labels = _batch(rng, valid)
-    model = build_resnet("tiny", fc_layer_dim=4, out_features=4,
-                         bn_stats_rows=ghost, dtype=jnp.float32)
-    loss_fn = engine.make_loss_fn("entropic")
-    step = engine.make_train_step(loss_fn)
-
-    pad_images = np.concatenate(
-        [images, images[np.arange(batch - valid) % valid]])
-    pad_labels = np.concatenate([labels, np.zeros(batch - valid, np.int32)])
-    mask = (np.arange(batch) < valid).astype(np.float32)
-
-    # Regular step on the padded tail == dedicated tail step, bitwise
-    # (same model: stats_rows == ghost in both).
-    s1, m1 = step(_make_state(model), pad_images, pad_labels, mask)
-    tail = engine.make_train_step(
-        loss_fn, apply_fn=model.clone(bn_stats_rows=ghost).apply)
-    s2, m2 = tail(_make_state(model), pad_images, pad_labels, mask)
-    assert float(m1["loss_sum"]) == float(m2["loss_sum"])
-    for x, y in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
-        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
-
-
 def test_worker_reuses_main_step_for_ghost_tail(tmp_path, monkeypatch):
     """Worker wiring: ghost<=tail -> tail_step IS train_step (no second
     compile); ghost==0 -> a dedicated tail step is built."""

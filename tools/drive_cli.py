@@ -84,7 +84,9 @@ def leaf_color(leaves, wnid):
     if wnid in leaves[DOG]:
         return KN_COLORS[leaves[DOG].index(wnid)]
     if any(wnid in leaves[sc] for sc in NEGS):
-        g = 100 + 20 * (hash(wnid) % 5)
+        # Deterministic gray per wnid (builtin hash() is randomized per
+        # process, which would make the accuracy gate non-reproducible).
+        g = 100 + 20 * (int(wnid[1:]) % 5)
         return (g, g, g)
     return (25, 25, 25)
 
@@ -108,10 +110,13 @@ def run(label, args, env, cwd):
     p = subprocess.run([sys.executable, "-m"] + [str(a) for a in args],
                        env=env, capture_output=True, text=True, cwd=cwd)
     if p.returncode != 0:
+        # Drop only the known-noise platform warning; anything else that
+        # mentions the backend (e.g. "Backend 'axon' is not in the list
+        # of known backends") is exactly what the user needs to see.
         err = "\n".join(l for l in p.stderr.splitlines()
-                        if "axon" not in l.lower())
+                        if "is experimental and not all JAX" not in l)
         print(p.stdout[-3000:])
-        print(err[-5000:])
+        print((err or p.stderr)[-5000:])
         raise SystemExit(f"{label} FAILED rc={p.returncode}")
     return p
 
@@ -140,6 +145,16 @@ def main():
     epochs = args.epochs or (20 if loss == "softmax" else 12)
 
     root = Path(tempfile.mkdtemp(prefix="osi_drive_"))
+    # On ANY failure the tree is intentionally kept for debugging — but
+    # always say so and where (a silent leak in /tmp helps nobody).
+    import atexit
+
+    @atexit.register
+    def _report_leftover():
+        if root.exists():
+            print(f"scratch tree kept (failure or --keep): {root}",
+                  flush=True)
+
     env = dict(os.environ)
     if args.tpu:
         # Real accelerator: leave the site-pinned platform alone (do NOT
@@ -261,10 +276,8 @@ output_directory: {out}
     print(f"known-class accuracy on test: {acc:.2f}")
     assert acc >= args.min_acc, f"model failed to learn: acc={acc}"
     print("DRIVE OK:", loss, "tree at", root)
-    if args.keep:
-        print(f"kept: {root}")
-    else:
-        shutil.rmtree(root)
+    if not args.keep:
+        shutil.rmtree(root)  # the atexit hook reports kept trees
 
 
 if __name__ == "__main__":
