@@ -215,6 +215,41 @@ def test_launch_preserves_inner_separator(tmp_path):
     assert command == ["mod.x", "a", "--", "b"]
 
 
+def test_maybe_initialize_is_noop_without_contract(monkeypatch):
+    """No OSI_COORDINATOR / OSI_DISTRIBUTED env -> plain single-process."""
+    from openset_imagenet_tpu.parallel import launch as L
+
+    monkeypatch.delenv(L.COORD_ENV, raising=False)
+    monkeypatch.delenv(L.AUTO_ENV, raising=False)
+    monkeypatch.setattr(L, "_initialized", False)
+    assert L.maybe_initialize() is False
+
+
+def test_child_env_contract_and_device_flags():
+    """The launcher's env contract: rank identity + forced CPU devices,
+    replacing (not stacking) any existing force-count flag."""
+    from openset_imagenet_tpu.parallel.launch import _child_env
+
+    base = {"XLA_FLAGS": "--foo --xla_force_host_platform_device_count=8",
+            "PYTHONPATH": "/keep/me"}
+    env = _child_env(base, rank=1, nproc=4, port=1234, cpu=True,
+                     devices_per_process=2)
+    assert env["OSI_COORDINATOR"] == "localhost:1234"
+    assert env["OSI_NUM_PROCESSES"] == "4"
+    assert env["OSI_PROCESS_ID"] == "1"
+    assert env["PYTHONPATH"] == "/keep/me"  # never clobbered (TPU plugin!)
+    flags = env["XLA_FLAGS"].split()
+    assert "--foo" in flags
+    assert flags.count("--xla_force_host_platform_device_count=2") == 1
+    assert "--xla_force_host_platform_device_count=8" not in flags
+
+    # cpu=False: platform/device env untouched (real per-host devices).
+    env = _child_env({"JAX_PLATFORMS": "tpu"}, rank=0, nproc=2, port=1,
+                     cpu=False, devices_per_process=1)
+    assert env["JAX_PLATFORMS"] == "tpu"
+    assert "XLA_FLAGS" not in env
+
+
 def test_multihost_batch_divisibility_raise(tmp_path):
     """A global batch not divisible by process_count raises up front."""
     from openset_imagenet_tpu.pipeline import InputPipeline
