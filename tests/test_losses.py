@@ -154,3 +154,22 @@ def test_early_stopping_resets_on_improvement():
     es(0.6, loss=False)  # improvement resets counter
     es(0.5, loss=False)
     assert not es.early_stop
+
+
+def test_entropic_class_adapter_matches_functional():
+    """Reference API parity: EntropicOpensetLoss(num, w)(logits, target)
+    == the functional mean (reference losses.py:7-29)."""
+    import numpy as np
+
+    from openset_imagenet_tpu.losses import (EntropicOpensetLoss,
+                                             entropic_openset_loss)
+
+    rng = np.random.default_rng(0)
+    logits = rng.normal(size=(16, 5)).astype(np.float32)
+    target = rng.integers(-1, 5, 16).astype(np.int32)
+    loss_obj = EntropicOpensetLoss(5, unk_weight=0.7)
+    mean, _ = entropic_openset_loss(logits, target, unk_weight=0.7)
+    assert float(loss_obj(logits, target)) == float(mean)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="classes"):
+        EntropicOpensetLoss(4)(logits, target)
