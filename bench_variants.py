@@ -135,6 +135,33 @@ def run_forward(name, batch, **kw):
     del state, arrays
 
 
+def run_eval(name, batch, **kw):
+    """Validation step: eval-mode forward + loss + confidence sums."""
+    from openset_imagenet_tpu import train as engine
+
+    t0 = time.time()
+    state, _, arrays = build(batch, **kw)
+    loss_fn = engine.make_loss_fn("entropic", unk_weight=1.0)
+    estep = engine.make_eval_step(loss_fn, "entropic", 1000)
+    for _ in range(4):
+        m = estep(state, *arrays)
+    float(m["loss_sum"])  # sync
+    rates = []
+    for _ in range(3):
+        t1 = time.perf_counter()
+        for _ in range(20):
+            m = estep(state, *arrays)
+        s = float(m["loss_sum"])
+        if not np.isfinite(s):
+            raise RuntimeError(f"non-finite eval loss: {s}")
+        rates.append(batch * 20 / (time.perf_counter() - t1))
+    rate = float(np.median(rates))
+    emit(variant=name, batch=batch, imgs_per_sec=round(rate, 1),
+         ms_per_step=round(1000.0 * batch / rate, 2),
+         build_s=round(time.time() - t0, 1))
+    del state, arrays
+
+
 def hlo_dump(path="/tmp/osi_step_hlo.txt", batch=256, **kw):
     """Dump the optimized HLO of the compiled step for fusion attribution."""
     state, step, arrays = build(batch, **kw)
@@ -256,6 +283,8 @@ VARIANTS = {
     # Inference/serving path: forward-only (logits/features/scores).
     "infer": lambda: run_forward("infer", 256),
     "infer_b512": lambda: run_forward("infer_b512", 512),
+    # Validation pass: forward + loss + streaming confidence sums.
+    "evalstep": lambda: run_eval("evalstep", 256),
     # Deeper variants (capability breadth beyond the reference's ResNet-50).
     "r101": lambda: run_variant("r101", 256, model_variant="resnet101"),
     "r152": lambda: run_variant("r152", 256, model_variant="resnet152"),
