@@ -8,8 +8,14 @@
 //    smallest fraction whose shorter side still >= the resize target.  For
 //    a typical 500x375 ImageNet JPEG resized to 256 this decodes at 4/8
 //    scale -- ~4x fewer pixels through the IDCT and color conversion.
+//  * window-restricted decode (libjpeg-turbo): IDCT + color conversion
+//    run only over the source window the crop actually samples —
+//    `jpeg_crop_scanline` limits columns, `jpeg_skip_scanlines` + an
+//    early abort limit rows (entropy decoding still scans the stream;
+//    a small margin keeps fancy-upsampling context away from edges).
 //  * fused bilinear resize straight into the crop window: only the
-//    `crop x crop` output pixels are resampled, not the full resized frame.
+//    `crop x crop` output pixels are resampled, not the full resized
+//    frame, with per-column source indices/weights precomputed once.
 //  * optional horizontal flip fused into the same pass (negative x stride).
 //
 // Because DCT scaling leaves a residual downscale factor <= ~1.14, plain
@@ -51,25 +57,36 @@ void emit_message_quiet(j_common_ptr cinfo, int msg_level) {
   if (msg_level < 0) cinfo->err->num_warnings++;
 }
 
-// Bilinear sample of channel-interleaved RGB row data.
-inline void sample_bilinear(const uint8_t* src, int sw, int sh,
-                            float fx, float fy, uint8_t* out3) {
-  fx = std::min(std::max(fx, 0.0f), static_cast<float>(sw - 1));
-  fy = std::min(std::max(fy, 0.0f), static_cast<float>(sh - 1));
-  int x0 = static_cast<int>(fx);
-  int y0 = static_cast<int>(fy);
-  int x1 = std::min(x0 + 1, sw - 1);
-  int y1 = std::min(y0 + 1, sh - 1);
-  float ax = fx - x0, ay = fy - y0;
-  const uint8_t* p00 = src + (static_cast<size_t>(y0) * sw + x0) * 3;
-  const uint8_t* p01 = src + (static_cast<size_t>(y0) * sw + x1) * 3;
-  const uint8_t* p10 = src + (static_cast<size_t>(y1) * sw + x0) * 3;
-  const uint8_t* p11 = src + (static_cast<size_t>(y1) * sw + x1) * 3;
-  for (int c = 0; c < 3; ++c) {
-    float v0 = p00[c] + ax * (p01[c] - p00[c]);
-    float v1 = p10[c] + ax * (p11[c] - p10[c]);
-    float v = v0 + ay * (v1 - v0);
-    out3[c] = static_cast<uint8_t>(v + 0.5f);
+// Per-thread scratch reused across images: the decoded window plus the
+// precomputed per-output-column sample indices/weights.  Owned by the
+// CALLER of decode_core so libjpeg's longjmp unwind can never skip a
+// live destructor.
+struct DecodeScratch {
+  std::vector<uint8_t> decoded;
+  std::vector<int> x0, x1;
+  std::vector<float> ax;
+};
+
+// Bilinear sample of channel-interleaved RGB row data with precomputed
+// column indices.  Arithmetic is bit-identical to the original
+// per-pixel form (same float expression order, +0.5 truncation).
+inline void sample_row_bilinear(const uint8_t* row0, const uint8_t* row1,
+                                float ay, const int* x0, const int* x1,
+                                const float* ax, int n, uint8_t* out,
+                                int flip) {
+  for (int x = 0; x < n; ++x) {
+    const uint8_t* p00 = row0 + x0[x] * 3;
+    const uint8_t* p01 = row0 + x1[x] * 3;
+    const uint8_t* p10 = row1 + x0[x] * 3;
+    const uint8_t* p11 = row1 + x1[x] * 3;
+    uint8_t* o = out + (flip ? (n - 1 - x) : x) * 3;
+    const float axx = ax[x];
+    for (int c = 0; c < 3; ++c) {
+      float v0 = p00[c] + axx * (p01[c] - p00[c]);
+      float v1 = p10[c] + axx * (p11[c] - p10[c]);
+      float v = v0 + ay * (v1 - v0);
+      o[c] = static_cast<uint8_t>(v + 0.5f);
+    }
   }
 }
 
@@ -105,7 +122,7 @@ extern "C" {
 static int decode_core(const uint8_t* jpeg, size_t len, int resize,
                        int crop, int top, int left, double utop,
                        double uleft, int flip, uint8_t* out,
-                       std::vector<uint8_t>& decoded_storage) {
+                       DecodeScratch& scratch) {
   jpeg_decompress_struct cinfo;
   ErrorMgr jerr;
   cinfo.err = jpeg_std_error(&jerr.pub);
@@ -127,6 +144,44 @@ static int decode_core(const uint8_t* jpeg, size_t len, int resize,
     jpeg_destroy_decompress(&cinfo);
     return 3;
   }
+
+  // Target resized geometry: shorter side == resize, aspect preserved.
+  // The long side TRUNCATES like torchvision's Resize
+  // (int(size * long / short) in _compute_resized_output_size).
+  // Derivable from the header alone, so the crop window is known BEFORE
+  // decoding — that is what lets the decode itself be window-restricted.
+  int rw, rh;
+  if (full_w <= full_h) {
+    rw = resize;
+    rh = std::max(1, static_cast<int>(
+        static_cast<double>(resize) * full_h / full_w));
+  } else {
+    rh = resize;
+    rw = std::max(1, static_cast<int>(
+        static_cast<double>(resize) * full_w / full_h));
+  }
+  // Center offset = int(round(d / 2.0)) with round-half-to-even, matching
+  // torchvision's F_pil.center_crop (floor differs when d % 4 == 3).
+  auto center_offset = [](int extent, int size) {
+    int d = extent - size;
+    if (d <= 0) return 0;
+    int k = d / 2;
+    if ((d & 1) && (k & 1)) ++k;
+    return k;
+  };
+  if (crop > rw || crop > rh) {  // window must fit; PIL pads
+    jpeg_destroy_decompress(&cinfo);
+    return 6;
+  }
+  if (utop >= 0.0) top = static_cast<int>(utop * (rh - crop + 1));
+  if (uleft >= 0.0) left = static_cast<int>(uleft * (rw - crop + 1));
+  if (top < 0) top = center_offset(rh, crop);
+  if (left < 0) left = center_offset(rw, crop);
+  // Defensive clamp: fractional-draw rounding can land one past the last
+  // valid offset.
+  top = std::min(top, rh - crop);
+  left = std::min(left, rw - crop);
+
   // Smallest DCT fraction m/8 whose decoded shorter side >= resize.
   const int short_side = std::min(full_w, full_h);
   int m = 8;
@@ -149,63 +204,104 @@ static int decode_core(const uint8_t* jpeg, size_t len, int resize,
     jpeg_destroy_decompress(&cinfo);
     return 4;
   }
-  std::vector<uint8_t>& decoded = decoded_storage;
-  decoded.resize(static_cast<size_t>(dw) * dh * 3);
-  while (cinfo.output_scanline < cinfo.output_height) {
+
+  // Source window the crop samples, in decoded coordinates (PIL-style
+  // half-pixel centers: src = (dst + 0.5) * scale - 0.5), padded by 2px
+  // so fancy-upsampling context at window edges cannot touch sampled
+  // pixels.  Sampling math below is bit-identical to a full-frame
+  // decode because IDCT/color conversion are blockwise-pure.
+  const float sx = static_cast<float>(dw) / rw;
+  const float sy = static_cast<float>(dh) / rh;
+  auto clampf = [](float v, float hi) {
+    return std::min(std::max(v, 0.0f), hi);
+  };
+  const float fx_min = clampf((left + 0.5f) * sx - 0.5f,
+                              static_cast<float>(dw - 1));
+  const float fx_max = clampf((crop - 1 + left + 0.5f) * sx - 0.5f,
+                              static_cast<float>(dw - 1));
+  const float fy_min = clampf((top + 0.5f) * sy - 0.5f,
+                              static_cast<float>(dh - 1));
+  const float fy_max = clampf((crop - 1 + top + 0.5f) * sy - 0.5f,
+                              static_cast<float>(dh - 1));
+  int win_x0 = std::max(0, static_cast<int>(fx_min) - 2);
+  const int win_x1 = std::min(dw - 1, std::min(
+      static_cast<int>(fx_max) + 1, dw - 1) + 2);
+  const int win_y0 = std::max(0, static_cast<int>(fy_min) - 2);
+  const int win_y1 = std::min(dh - 1, std::min(
+      static_cast<int>(fy_max) + 1, dh - 1) + 2);
+
+  // Column restriction (libjpeg-turbo).  jpeg_crop_scanline widens the
+  // request to iMCU/upsampling alignment and updates output_width.
+  int xoff = 0, wwin = dw;
+#ifdef LIBJPEG_TURBO_VERSION
+  if (win_x0 > 0 || win_x1 < dw - 1) {
+    JDIMENSION cx = static_cast<JDIMENSION>(win_x0);
+    JDIMENSION cw = static_cast<JDIMENSION>(win_x1 - win_x0 + 1);
+    jpeg_crop_scanline(&cinfo, &cx, &cw);
+    xoff = static_cast<int>(cx);
+    wwin = static_cast<int>(cinfo.output_width);
+  }
+#endif
+
+  const int rows_n = win_y1 - win_y0 + 1;
+  std::vector<uint8_t>& decoded = scratch.decoded;
+  decoded.resize(static_cast<size_t>(wwin) * rows_n * 3);
+
+  // Row restriction: skip ahead to the window (turbo fast-path; plain
+  // read-and-discard otherwise), read the window, then abort the rest.
+#ifdef LIBJPEG_TURBO_VERSION
+  if (win_y0 > 0) {
+    jpeg_skip_scanlines(&cinfo, static_cast<JDIMENSION>(win_y0));
+  }
+#endif
+  while (cinfo.output_scanline < static_cast<JDIMENSION>(win_y0)) {
+    JSAMPROW rows[1] = {decoded.data()};  // discard scratch
+    jpeg_read_scanlines(&cinfo, rows, 1);
+  }
+  while (cinfo.output_scanline <= static_cast<JDIMENSION>(win_y1)) {
     uint8_t* row = decoded.data() +
-        static_cast<size_t>(cinfo.output_scanline) * dw * 3;
+        (static_cast<size_t>(cinfo.output_scanline) - win_y0) * wwin * 3;
     JSAMPROW rows[1] = {row};
     jpeg_read_scanlines(&cinfo, rows, 1);
   }
-  jpeg_finish_decompress(&cinfo);
+  if (cinfo.output_scanline < cinfo.output_height) {
+    jpeg_abort_decompress(&cinfo);
+  } else {
+    jpeg_finish_decompress(&cinfo);
+  }
   const long n_warnings = jerr.pub.num_warnings;
   jpeg_destroy_decompress(&cinfo);
   if (n_warnings > 0) return 5;  // corrupt data decoded as gray: reject
 
-  // Target resized geometry: shorter side == resize, aspect preserved.
-  // The long side TRUNCATES like torchvision's Resize
-  // (int(size * long / short) in _compute_resized_output_size).
-  int rw, rh;
-  if (full_w <= full_h) {
-    rw = resize;
-    rh = std::max(1, static_cast<int>(
-        static_cast<double>(resize) * full_h / full_w));
-  } else {
-    rh = resize;
-    rw = std::max(1, static_cast<int>(
-        static_cast<double>(resize) * full_w / full_h));
+  // Per-output-column source indices/weights, precomputed once (the
+  // same clamp/floor/weight expressions the per-pixel loop used).
+  scratch.x0.resize(crop);
+  scratch.x1.resize(crop);
+  scratch.ax.resize(crop);
+  for (int x = 0; x < crop; ++x) {
+    const float fx = clampf((x + left + 0.5f) * sx - 0.5f,
+                            static_cast<float>(dw - 1));
+    int gx0 = static_cast<int>(fx);
+    int gx1 = std::min(gx0 + 1, dw - 1);
+    scratch.ax[x] = fx - gx0;
+    scratch.x0[x] = std::min(std::max(gx0 - xoff, 0), wwin - 1);
+    scratch.x1[x] = std::min(std::max(gx1 - xoff, 0), wwin - 1);
   }
-  // Center offset = int(round(d / 2.0)) with round-half-to-even, matching
-  // torchvision's F_pil.center_crop (floor differs when d % 4 == 3).
-  auto center_offset = [](int extent, int size) {
-    int d = extent - size;
-    if (d <= 0) return 0;
-    int k = d / 2;
-    if ((d & 1) && (k & 1)) ++k;
-    return k;
-  };
-  if (crop > rw || crop > rh) return 6;  // window must fit; PIL pads
-  if (utop >= 0.0) top = static_cast<int>(utop * (rh - crop + 1));
-  if (uleft >= 0.0) left = static_cast<int>(uleft * (rw - crop + 1));
-  if (top < 0) top = center_offset(rh, crop);
-  if (left < 0) left = center_offset(rw, crop);
-  // Defensive clamp: fractional-draw rounding can land one past the last
-  // valid offset.
-  top = std::min(top, rh - crop);
-  left = std::min(left, rw - crop);
 
-  // Map each output pixel through the crop offset into decoded coordinates
-  // (PIL-style half-pixel centers: src = (dst + 0.5) * scale - 0.5).
-  const float sx = static_cast<float>(dw) / rw;
-  const float sy = static_cast<float>(dh) / rh;
   for (int y = 0; y < crop; ++y) {
-    const float fy = (y + top + 0.5f) * sy - 0.5f;
+    const float fy = clampf((y + top + 0.5f) * sy - 0.5f,
+                            static_cast<float>(dh - 1));
+    int gy0 = static_cast<int>(fy);
+    int gy1 = std::min(gy0 + 1, dh - 1);
+    const float ay = fy - gy0;
+    const uint8_t* row0 = decoded.data() +
+        (static_cast<size_t>(gy0) - win_y0) * wwin * 3;
+    const uint8_t* row1 = decoded.data() +
+        (static_cast<size_t>(gy1) - win_y0) * wwin * 3;
     uint8_t* orow = out + static_cast<size_t>(y) * crop * 3;
-    for (int x = 0; x < crop; ++x) {
-      const int ox = flip ? (crop - 1 - x) : x;
-      const float fx = (x + left + 0.5f) * sx - 0.5f;
-      sample_bilinear(decoded.data(), dw, dh, fx, fy, orow + ox * 3);
-    }
+    sample_row_bilinear(row0, row1, ay, scratch.x0.data(),
+                        scratch.x1.data(), scratch.ax.data(), crop, orow,
+                        flip);
   }
   return 0;
 }
@@ -214,9 +310,9 @@ static int decode_core(const uint8_t* jpeg, size_t len, int resize,
 int osi_decode_resize_crop(const uint8_t* jpeg, size_t len, int resize,
                            int crop, int top, int left, int flip,
                            uint8_t* out) {
-  std::vector<uint8_t> decoded;  // owned here; safe across longjmp
+  DecodeScratch scratch;  // owned here; safe across longjmp
   return decode_core(jpeg, len, resize, crop, top, left, -1.0, -1.0, flip,
-                     out, decoded);
+                     out, scratch);
 }
 
 // Batch loader: decode n JPEG files into one contiguous uint8 batch
@@ -236,7 +332,7 @@ int osi_decode_batch(const char** paths, int n, const float* utop,
 
   auto work = [&]() {
     std::vector<uint8_t> buf;
-    std::vector<uint8_t> decoded;  // reused per thread across images
+    DecodeScratch scratch;  // reused per thread across images
     for (;;) {
       const int i = next.fetch_add(1);
       if (i >= n) break;
@@ -253,7 +349,7 @@ int osi_decode_batch(const char** paths, int n, const float* utop,
       const double ul = uleft ? static_cast<double>(uleft[i]) : -1.0;
       const int fl = flip ? flip[i] : 0;
       if (decode_core(buf.data(), buf.size(), resize, crop, -1, -1,
-                      ut, ul, fl, out + stride * i, decoded) == 0) {
+                      ut, ul, fl, out + stride * i, scratch) == 0) {
         ok[i] = 1;
       } else {
         failures.fetch_add(1);
