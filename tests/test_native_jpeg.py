@@ -87,3 +87,26 @@ def test_truncated_jpeg_rejected_not_gray():
     truncated = data[: int(len(data) * 0.6)]
     assert nj.decode_resize_crop(data, 256, 224) is not None
     assert nj.decode_resize_crop(truncated, 256, 224) is None
+
+
+def test_truncation_below_sampled_window_decodes_clean():
+    """Window-restricted decode stops at the crop's last sampled row, so
+    corruption strictly BELOW the window never touches output pixels —
+    such images decode cleanly (and identically to the intact file)
+    instead of being needlessly rejected.  Corruption INSIDE the window
+    is still rejected (test above: 60% truncation hits a center crop)."""
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, (800, 300, 3), np.uint8)  # tall: rh=682
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="JPEG", quality=90)
+    data = buf.getvalue()
+    # top=0 crop samples decoded rows ~[0, 225) of ~597; keep 95% of the
+    # stream so the lost tail is far below the window.
+    truncated = data[: int(len(data) * 0.95)]
+    full = nj.decode_resize_crop(data, 256, 224, top=0, left=0)
+    trunc = nj.decode_resize_crop(truncated, 256, 224, top=0, left=0)
+    assert full is not None and trunc is not None
+    np.testing.assert_array_equal(full, trunc)
+    # A crop that DOES reach the lost rows is still rejected.
+    assert nj.decode_resize_crop(truncated, 256, 224, top=455,
+                                 left=0) is None
