@@ -54,21 +54,17 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["tail_site_split"]
+from openset_imagenet_tpu.experimental.fused_block import (
+    _pick_tm as _pick_tm_or_none)
 
-_VMEM_BUDGET = 12 * 1024 * 1024
+__all__ = ["tail_site_split"]
 
 
 def _pick_tm(m: int, row_bytes: int, fixed_bytes: int) -> int:
-    """Largest power-of-two divisor of ``m`` in [256, 2048] whose
-    double-buffered row streams + fixed VMEM residents fit the budget."""
-    budget = _VMEM_BUDGET - fixed_bytes
-    tm = 1
-    while m % (tm * 2) == 0 and tm < 2048:
-        tm *= 2
-    while tm > 256 and 2 * tm * row_bytes > budget:
-        tm //= 2
-    if tm < 256 or 2 * tm * row_bytes > budget:
+    """``fused_block._pick_tm`` (one source of truth for the VMEM tile
+    budget), but raising — this experiment has no jnp fallback path."""
+    tm = _pick_tm_or_none(m, row_bytes, fixed_bytes)
+    if tm is None:
         raise ValueError(f"no viable row tile for m={m} (row_bytes="
                          f"{row_bytes}, fixed={fixed_bytes})")
     return tm

@@ -100,8 +100,9 @@ def test_truncation_below_sampled_window_decodes_clean():
     buf = io.BytesIO()
     Image.fromarray(img).save(buf, format="JPEG", quality=90)
     data = buf.getvalue()
-    # top=0 crop samples decoded rows ~[0, 225) of ~597; keep 95% of the
-    # stream so the lost tail is far below the window.
+    # top=0 crop samples decoded rows ~[0, 231] of 700 (DCT scale 7/8 of
+    # 800 rows); keeping 95% of the stream loses only rows ~665+, far
+    # below the window.
     truncated = data[: int(len(data) * 0.95)]
     full = nj.decode_resize_crop(data, 256, 224, top=0, left=0)
     trunc = nj.decode_resize_crop(truncated, 256, 224, top=0, left=0)

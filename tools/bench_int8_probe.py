@@ -91,7 +91,7 @@ for name, fn, args in [("conv_bf16", conv_bf, (xbf, kbf)),
 
 B, H, W = 256, 28, 28
 
-# --- 1x1 conv as dot: [B*H*W, 512] @ [512, 128] (stage-3-ish) ---
+# --- 1x1 conv as dot: [B*H*W, 512] @ [512, 512] (stage-3-ish) ---
 Ci, Co = 512, 512
 x8 = jnp.asarray(rng.integers(-127, 127, (B * H * W, Ci)), jnp.int8)
 w8 = jnp.asarray(rng.integers(-127, 127, (Ci, Co)), jnp.int8)
@@ -136,13 +136,6 @@ def shiftdot(x, k):
                 win, k[dy, dx], (((3,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32)
     return (acc >> 8).astype(jnp.int8)
-
-def conv_bf(x, k):
-    y = jax.lax.conv_general_dilated(
-        x, k, (1, 1), ((1, 1), (1, 1)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32)
-    return (y * 0.01).astype(jnp.bfloat16)
 
 for name, fn, args in [("conv3_bf16", conv_bf, (x4b, k4b)),
                        ("conv3_shiftdot_i8", shiftdot, (x4, k4))]:
