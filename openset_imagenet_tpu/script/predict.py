@@ -1,0 +1,132 @@
+"""``predict_imagenet`` CLI: serving-side open-set classification.
+
+Beyond the reference's inventory — the reference stops at offline score
+extraction for evaluation (reference ``script/evaluate.py:82-149``); this
+entry point is the deployment surface: load a trained ``_best``/``_curr``
+checkpoint once (native msgpack or the reference's published torch
+``.pth`` — auto-converted), then classify files, directories, or a CSV
+listing of images with open-set rejection, writing a predictions CSV of
+``path,prediction,score`` rows where rejected samples get class ``-1``
+(the protocol's negative-label convention, reference
+``protocol.py:192-204``).
+
+Thin wrapper over :class:`openset_imagenet_tpu.inference.OpenSetPredictor`
+(jitted forward, power-of-two batch bucketing, native batch decode).
+"""
+
+from __future__ import annotations
+
+import argparse
+import pathlib
+import sys
+
+IMAGE_SUFFIXES = (".jpeg", ".jpg", ".png", ".bmp", ".webp")
+
+
+def get_args(argv=None):
+    parser = argparse.ArgumentParser(
+        "predict_imagenet",
+        description="Classify images with a trained open-set model")
+    parser.add_argument("checkpoint",
+                        help="Trained checkpoint (.pth; native or "
+                             "reference-torch format)")
+    parser.add_argument("n_classes", type=int,
+                        help="Logit dimensionality the model was trained "
+                             "with (garbage models: known classes + 1 "
+                             "background)")
+    parser.add_argument("images", nargs="+",
+                        help="Image files, directories (searched "
+                             "recursively), or .csv/.txt listings of "
+                             "relative paths (protocol-CSV format works)")
+    parser.add_argument("--imagenet-directory", default=".",
+                        help="Root that listed/relative paths resolve "
+                             "against")
+    parser.add_argument("--threshold", "-t", type=float, default=0.0,
+                        help="Rejection threshold; 0 disables rejection")
+    parser.add_argument("--mode", choices=("softmax", "objectosphere"),
+                        default="softmax",
+                        help="Rejection rule: max-softmax or "
+                             "||feature||*score (reference metrics.py:45-62)")
+    parser.add_argument("--background", action="store_true",
+                        help="Garbage-regime checkpoint: exclude the "
+                             "background column from the class decision")
+    parser.add_argument("--model-variant", default="resnet50")
+    parser.add_argument("--image-size", type=int, default=224)
+    parser.add_argument("--batch-size", type=int, default=64)
+    parser.add_argument("--output", "-o", default="-",
+                        help="Predictions CSV path ('-' = stdout)")
+    parser.add_argument("--gpu", "-g", type=int, nargs="?", default=None,
+                        const=0,
+                        help="Pin inference to this device index")
+    return parser.parse_args(argv)
+
+
+def collect_paths(specs, root: pathlib.Path):
+    """Expand files / directories / listing files into image paths."""
+    paths = []
+    for spec in specs:
+        p = pathlib.Path(spec)
+        if not p.exists():
+            p = root / spec
+        if p.is_dir():
+            found = sorted(q for q in p.rglob("*")
+                           if q.suffix.lower() in IMAGE_SUFFIXES)
+            paths.extend(str(q) for q in found)
+        elif p.suffix.lower() in (".csv", ".txt"):
+            for line in p.read_text().splitlines():
+                rel = line.split(",")[0].strip()
+                if rel:
+                    paths.append(str(root / rel))
+        elif p.exists():
+            paths.append(str(p))
+        else:
+            raise FileNotFoundError(f"no such image/directory/listing: "
+                                    f"{spec}")
+    return paths
+
+
+def main(argv=None):
+    args = get_args(argv)
+    if args.gpu is not None:
+        # Must pin before the first backend touch inside the predictor.
+        from ..parallel.mesh import select_device
+        import jax
+        jax.config.update("jax_default_device",
+                          select_device(args.gpu)[0])
+
+    from ..inference import OpenSetPredictor
+    from ..logger import configure_logger
+
+    log = configure_logger()
+    paths = collect_paths(args.images, pathlib.Path(args.imagenet_directory))
+    if not paths:
+        log.warning("no images found")
+        return 0
+    predictor = OpenSetPredictor(
+        args.checkpoint, n_classes=args.n_classes,
+        variant=args.model_variant, image_size=args.image_size,
+        threshold=args.threshold, mode=args.mode,
+        has_background=args.background)
+
+    out = (sys.stdout if args.output == "-"
+           else open(args.output, "w", encoding="utf-8"))
+    try:
+        out.write("path,prediction,score\n")
+        rejected = 0
+        for i in range(0, len(paths), args.batch_size):
+            chunk = paths[i:i + args.batch_size]
+            pred, score = predictor.predict(chunk)
+            rejected += int((pred == -1).sum())
+            for p, c, s in zip(chunk, pred, score):
+                out.write(f"{p},{int(c)},{float(s):.6f}\n")
+    finally:
+        if out is not sys.stdout:
+            out.close()
+    log.info(f"predicted {len(paths)} images "
+             f"({rejected} rejected as unknown)"
+             + (f" -> {args.output}" if args.output != "-" else ""))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

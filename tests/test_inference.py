@@ -84,3 +84,48 @@ def test_sigterm_stops_after_epoch(trained, tmp_path):
     assert (tmp_path / "preempt" / "entropic_curr.pth").exists()
     log_text = (tmp_path / "preempt" / "training.log").read_text()
     assert "shutdown requested" in log_text
+
+
+def test_predict_cli_end_to_end(trained, tmp_path):
+    """predict_imagenet CLI: files + a directory + a CSV listing in, a
+    predictions CSV out; threshold rejection labels -1."""
+    from PIL import Image
+
+    from openset_imagenet_tpu.script.predict import main
+
+    root, cfg = trained
+    ckpt = cfg.output_directory / "entropic_best.pth"
+    rng = np.random.default_rng(7)
+    img_dir = tmp_path / "imgs" / "sub"
+    img_dir.mkdir(parents=True)
+    for i in range(3):
+        arr = rng.integers(0, 256, (32, 32, 3), np.uint8)
+        Image.fromarray(arr).save(img_dir / f"im{i}.png")
+    single = tmp_path / "one.jpg"
+    Image.fromarray(rng.integers(0, 256, (32, 32, 3),
+                                 np.uint8)).save(single)
+    listing = tmp_path / "list.csv"
+    listing.write_text("imgs/sub/im0.png,0\nimgs/sub/im1.png,-1\n")
+
+    out = tmp_path / "pred.csv"
+    rc = main([str(ckpt), "3", str(tmp_path / "imgs"), str(single),
+               str(listing), "--imagenet-directory", str(tmp_path),
+               "--model-variant", "tiny", "--image-size", "32",
+               "--batch-size", "4", "-o", str(out)])
+    assert rc == 0
+    lines = out.read_text().strip().splitlines()
+    assert lines[0] == "path,prediction,score"
+    assert len(lines) == 1 + 3 + 1 + 2  # dir + file + listing rows
+    for line in lines[1:]:
+        path, pred, score = line.rsplit(",", 2)
+        assert 0 <= int(pred) < 3
+        assert 0.0 < float(score) <= 1.0
+
+    # Impossible threshold: everything rejected as -1.
+    out2 = tmp_path / "rej.csv"
+    rc = main([str(ckpt), "3", str(single), "--threshold", "1.1",
+               "--model-variant", "tiny", "--image-size", "32",
+               "-o", str(out2)])
+    assert rc == 0
+    assert out2.read_text().strip().splitlines()[1].rsplit(
+        ",", 2)[1] == "-1"

@@ -11,8 +11,9 @@ reference user runs, plus the multi-host launcher:
   2. evaluate_imagenet   — logits/features/scores npz for val+test
   3. launch_imagenet     — the same train+evaluate under a REAL 2-process
                            jax.distributed cluster (skip with --skip-mp)
-  4. plot_imagenet       — OSCR/confidence PDF + LaTeX table
-  5. a learning bar: known-class test accuracy >= --min-acc
+  4. predict_imagenet    — serving CLI on a directory of raw images
+  5. plot_imagenet       — OSCR/confidence PDF + LaTeX table
+  6. a learning bar: known-class test accuracy >= --min-acc
 
 The synthetic world: every protocol-1 superclass gets leaf classes —
 known (dog) leaves are saturated colors, negative/unknown leaves are
@@ -258,7 +259,27 @@ output_directory: {out}
             + eval_args[9:], env, root)
         assert (mp_out / f"{loss}_val_arr_curr.npz").exists()
 
-    # 4. plot
+    # 4. serving CLI: classify raw images with the trained checkpoint
+    n_pred = len(KN_COLORS) + (1 if loss == "garbage" else 0)
+    dog_dir = root / "val" / leaves[DOG][0]
+    pred_csv = root / "predictions.csv"
+    pred_args = ["openset_imagenet_tpu.script.predict",
+                 out / f"{loss}_curr.pth", str(n_pred), dog_dir,
+                 "--image-size", "64", "--batch-size", "8",
+                 "-o", pred_csv]
+    if loss == "garbage":
+        pred_args.append("--background")
+    run("predict", pred_args, env, root)
+    lines = pred_csv.read_text().strip().splitlines()
+    n_imgs = len(list(dog_dir.glob("*.JPEG")))
+    assert lines[0] == "path,prediction,score" and len(lines) == 1 + n_imgs
+    preds = [int(l.rsplit(",", 2)[1]) for l in lines[1:]]
+    assert all(0 <= p < len(KN_COLORS) for p in preds), preds
+    # Same-color images should (almost) all agree on one class.
+    top = max(preds.count(p) for p in set(preds))
+    assert top >= len(preds) - 1, preds
+
+    # 5. plot
     run("plot", ["openset_imagenet_tpu.script.plot_all",
                  "--protocols", "1", "--loss-functions", loss,
                  "--labels",
@@ -268,7 +289,7 @@ output_directory: {out}
                  "--protocol-directory", root / "protocols"], env, root)
     assert (root / "Results_last.pdf").exists()
 
-    # 5. learning bar
+    # 6. learning bar
     test = np.load(out / f"{loss}_test_arr_curr.npz")
     kn = test["gt"] >= 0
     acc = (test["scores"][kn, :len(KN_COLORS)].argmax(1)
