@@ -70,6 +70,37 @@ def test_native_reader_interface(tmp_path):
     assert out.shape == (224, 224, 3)
 
 
+def test_grayscale_jpeg_upconverts_to_rgb():
+    """Single-channel JPEGs decode through JCS_RGB as gray RGB."""
+    x = np.linspace(0, 255, 400)[None, :].repeat(300, 0).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(x, mode="L").save(buf, "JPEG", quality=92)
+    out = nj.decode_resize_crop(buf.getvalue(), 256, 224)
+    assert out is not None and out.shape == (224, 224, 3)
+    # R==G==B everywhere, and the gradient survives.
+    np.testing.assert_array_equal(out[..., 0], out[..., 1])
+    np.testing.assert_array_equal(out[..., 0], out[..., 2])
+    assert out[..., 0].max() - out[..., 0].min() > 100
+
+
+def test_progressive_jpeg_matches_baseline_encoding():
+    """Progressive streams take a different libjpeg path (whole-image
+    coefficient buffer); the window-restricted decode must handle them
+    and land on the same pixels as the baseline encoding of the same
+    image (identical DCT coefficients -> identical output)."""
+    rng = np.random.default_rng(6)
+    small = rng.integers(0, 256, (24, 32, 3), np.uint8)
+    arr = np.asarray(Image.fromarray(small).resize((500, 375),
+                                                   Image.BILINEAR))
+    base, prog = io.BytesIO(), io.BytesIO()
+    Image.fromarray(arr).save(base, "JPEG", quality=90)
+    Image.fromarray(arr).save(prog, "JPEG", quality=90, progressive=True)
+    a = nj.decode_resize_crop(base.getvalue(), 256, 224, top=3, left=9)
+    b = nj.decode_resize_crop(prog.getvalue(), 256, 224, top=3, left=9)
+    assert a is not None and b is not None
+    np.testing.assert_array_equal(a, b)
+
+
 def test_corrupt_jpeg_returns_none():
     assert nj.decode_resize_crop(b"\xff\xd8garbage", 256, 224) is None
 
