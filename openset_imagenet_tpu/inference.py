@@ -24,7 +24,8 @@ class OpenSetPredictor:
 
     def __init__(self, checkpoint, n_classes: int, variant: str = "resnet50",
                  image_size: int = 224, threshold: float = 0.0,
-                 mode: str = "softmax", has_background: bool = False):
+                 mode: str = "softmax", has_background: bool = False,
+                 mesh=None):
         """Args:
             checkpoint: path to a ``.pth`` checkpoint from training.
             n_classes: logits dimensionality the model was trained with
@@ -38,6 +39,11 @@ class OpenSetPredictor:
             has_background: garbage-regime model — the background column is
                 excluded from the class decision and its index never
                 predicted.
+            mesh: optional ``jax.sharding.Mesh`` with a ``data`` axis —
+                data-parallel serving: weights replicated once, every
+                request batch sharded over the mesh devices (GSPMD; no
+                collectives in the forward, so throughput scales linearly
+                with chips).
         """
         import optax
 
@@ -56,8 +62,15 @@ class OpenSetPredictor:
                                               image_size=image_size)
         # Commit the weights to device once; numpy leaves would otherwise
         # re-transfer the whole model on every predict() call.
-        self._state = jax.device_put(state)
-        self._forward = engine.make_forward_step(None)
+        if mesh is not None:
+            from .parallel.mesh import replicated
+
+            self._state = jax.device_put(state, replicated(mesh))
+            self._bucket_unit = int(mesh.devices.size)
+        else:
+            self._state = jax.device_put(state)
+            self._bucket_unit = 1
+        self._forward = engine.make_forward_step(mesh)
         self.image_size = image_size
         self.threshold = float(threshold)
         if mode not in ("softmax", "objectosphere"):
@@ -99,8 +112,11 @@ class OpenSetPredictor:
         # Static shapes under jit: pad to the next power of two so arbitrary
         # request sizes reuse a handful of compiled programs instead of
         # compiling per batch size (BN runs on running stats, so padded
-        # rows are dropped afterwards with no effect).
-        bucket = 1 << max(0, (n - 1)).bit_length()
+        # rows are dropped afterwards with no effect).  Under a mesh the
+        # bucket is a multiple of the device count so every batch shards
+        # evenly.
+        unit = self._bucket_unit
+        bucket = unit * (1 << max(0, (-(-n // unit) - 1)).bit_length())
         if bucket != n:
             pad = np.zeros((bucket - n, *images.shape[1:]), images.dtype)
             images = np.concatenate([images, pad])

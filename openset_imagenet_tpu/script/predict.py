@@ -58,7 +58,16 @@ def get_args(argv=None):
     parser.add_argument("--gpu", "-g", type=int, nargs="?", default=None,
                         const=0,
                         help="Pin inference to this device index")
-    return parser.parse_args(argv)
+    parser.add_argument("--devices", "-d", type=int, default=None,
+                        help="Data-parallel serving: shard every batch "
+                             "over the first N local devices (weights "
+                             "replicated once). Mutually exclusive with "
+                             "--gpu")
+    args = parser.parse_args(argv)
+    if args.gpu is not None and args.devices is not None:
+        parser.error("--gpu pins one device; --devices shards over "
+                     "several — pass at most one of them")
+    return args
 
 
 def collect_paths(specs, root: pathlib.Path):
@@ -102,11 +111,21 @@ def main(argv=None):
     if not paths:
         log.warning("no images found")
         return 0
+    mesh = None
+    if args.devices is not None:
+        import jax
+
+        from ..parallel.mesh import make_mesh
+        if not 1 <= args.devices <= len(jax.devices()):
+            raise SystemExit(
+                f"--devices {args.devices} out of range: "
+                f"{len(jax.devices())} device(s) visible")
+        mesh = make_mesh(num_devices=args.devices)
     predictor = OpenSetPredictor(
         args.checkpoint, n_classes=args.n_classes,
         variant=args.model_variant, image_size=args.image_size,
         threshold=args.threshold, mode=args.mode,
-        has_background=args.background)
+        has_background=args.background, mesh=mesh)
 
     out = (sys.stdout if args.output == "-"
            else open(args.output, "w", encoding="utf-8"))

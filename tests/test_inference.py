@@ -64,6 +64,34 @@ def test_garbage_predictor_excludes_background(trained):
     assert np.all(classes < 3)  # background index (3) never predicted
 
 
+def test_mesh_predictor_matches_single_device(trained):
+    """Data-parallel serving: an 8-device mesh predictor returns the same
+    classes/scores as the single-device one, including on a ragged batch
+    that must pad up to a multiple of the device count."""
+    from openset_imagenet_tpu.inference import OpenSetPredictor
+    from openset_imagenet_tpu.parallel.mesh import make_mesh
+
+    root, cfg = trained
+    ckpt = cfg.output_directory / "entropic_best.pth"
+    single = OpenSetPredictor(ckpt, n_classes=3, variant="tiny",
+                              image_size=32, threshold=0.2)
+    sharded = OpenSetPredictor(ckpt, n_classes=3, variant="tiny",
+                               image_size=32, threshold=0.2,
+                               mesh=make_mesh(num_devices=8))
+    # 11 rows: not divisible by 8, so the mesh path pads to 16 (= 8 * 2).
+    images = np.random.default_rng(3).integers(
+        0, 256, (11, 32, 32, 3), np.uint8)
+    c1, s1 = single.predict(images)
+    c2, s2 = sharded.predict(images)
+    np.testing.assert_array_equal(c1, c2)
+    np.testing.assert_allclose(s1, s2, rtol=1e-5, atol=1e-6)
+
+    # Fewer rows than devices still shards (pads to one row per device).
+    c3, s3 = sharded.predict(images[:3])
+    np.testing.assert_array_equal(c1[:3], c3)
+    np.testing.assert_allclose(s1[:3], s3, rtol=1e-5, atol=1e-6)
+
+
 def test_sigterm_stops_after_epoch(trained, tmp_path):
     """SIGTERM mid-run: the loop exits after the current epoch cleanly."""
     root, _ = trained
