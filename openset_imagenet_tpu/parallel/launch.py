@@ -114,6 +114,34 @@ def maybe_initialize(timeout_s: Optional[int] = None,
             raise RuntimeError(
                 f"transport warm-up allgather saw {len(_np.ravel(ranks))} "
                 f"ranks, expected {jax.process_count()}")
+        # The scalar allgather forms the PER-PROCESS transport clique
+        # only.  Compiled train/eval steps all-reduce over EVERY device
+        # — a different Gloo clique (context key "<all device ids>/N")
+        # whose context otherwise forms lazily at the FIRST step
+        # dispatch, racing per-rank compile-time skew: a warm vs cold
+        # compile cache spreads first dispatches minutes apart, and the
+        # hard 30 s rendezvous window then kills the early rank
+        # ("GetKeyValue() timed out ... /2").  Reproduced
+        # deterministically with a 40 s sleep on one rank; forming the
+        # all-device context here — while ranks sit microseconds apart
+        # — makes the post-skew collective WAIT inside the established
+        # context instead, and every later executable reuses it
+        # (tests/test_multiprocess.py::test_compile_skew_survives).
+        n_dev = jax.device_count()
+        if n_dev > 1:
+            import jax.numpy as _jnp
+            from jax.sharding import (Mesh, NamedSharding,
+                                      PartitionSpec as _P)
+            mesh = Mesh(_np.asarray(jax.devices()), ("warmup",))
+            ones = _np.ones(n_dev, _np.float32)
+            sharded = jax.make_array_from_callback(
+                (n_dev,), NamedSharding(mesh, _P("warmup")),
+                lambda idx: ones[idx])
+            total = float(jax.jit(_jnp.sum)(sharded))
+            if total != float(n_dev):
+                raise RuntimeError(
+                    f"transport warm-up all-reduce returned {total}, "
+                    f"expected {n_dev}")
     return True
 
 

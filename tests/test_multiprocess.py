@@ -187,6 +187,46 @@ def test_resume_across_process_group_is_bitwise(tmp_path):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+@pytest.mark.slow
+def test_compile_skew_survives_transport_window(tmp_path):
+    """A 40 s first-dispatch skew between ranks — one hitting a warm
+    compile cache while the other compiles for minutes — must not kill
+    the early rank.  Gloo forms one context per device clique, lazily at
+    that clique's FIRST collective, with a hard 30 s rendezvous window
+    (no knob); the all-device clique used by every compiled step is a
+    DIFFERENT clique than the per-process allgather's, so without the
+    up-front warm-up in maybe_initialize the early rank dies with
+    "GetKeyValue() timed out ... cpu:gloo/<all devices>/2" (reproduced
+    deterministically with exactly this child, minus the warm-up).  With
+    the context established at init, the skewed collective just waits."""
+    child = tmp_path / "skew.py"
+    child.write_text(
+        "import time\n"
+        "import numpy as np\n"
+        "from openset_imagenet_tpu.parallel.launch import "
+        "maybe_initialize\n"
+        "assert maybe_initialize()\n"
+        "import jax\n"
+        "import jax.numpy as jnp\n"
+        "from jax.sharding import Mesh, NamedSharding, "
+        "PartitionSpec as P\n"
+        "if jax.process_index() == 1:\n"
+        "    time.sleep(40)\n"
+        "n = jax.device_count()\n"
+        "assert n == 4, n\n"
+        "mesh = Mesh(np.asarray(jax.devices()), ('d',))\n"
+        "ones = np.ones(n, np.float32)\n"
+        "arr = jax.make_array_from_callback(\n"
+        "    (n,), NamedSharding(mesh, P('d')), lambda idx: ones[idx])\n"
+        "assert float(jax.jit(jnp.sum)(arr)) == n\n"
+        "assert float(jax.jit(lambda x: jnp.sum(x * 2))(arr)) == 2 * n\n")
+    t0 = time.time()
+    codes = launch([str(child)], nproc=2, cpu=True, devices_per_process=2,
+                   stream=False)
+    assert codes == [0, 0]
+    assert time.time() - t0 >= 40  # the skew really happened
+
+
 def test_launch_fail_fast_escalates_to_kill(tmp_path):
     """A rank dying non-zero tears the group down even when survivors
     ignore SIGTERM (graceful-preemption workers stuck in a collective)."""
