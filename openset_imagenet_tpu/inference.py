@@ -126,12 +126,16 @@ class OpenSetPredictor:
         class_scores = scores[:, :-1] if self.has_background else scores
         pred = np.argmax(class_scores, axis=-1)
         conf = np.max(class_scores, axis=-1)
+        # The returned score IS the rejection measure of the configured
+        # mode (max-softmax, or ||feature||*softmax for objectosphere) —
+        # consumers re-applying the threshold to it reconstruct exactly
+        # the accept/reject decisions made here.
+        if self.mode == "objectosphere":
+            measure = np.linalg.norm(features, axis=-1) * conf
+        else:
+            measure = conf
         if self.threshold > 0:
-            if self.mode == "objectosphere":
-                measure = np.linalg.norm(features, axis=-1) * conf
-            else:
-                measure = conf
             pred = np.where(measure < self.threshold, -1, pred)
         if return_features:
-            return pred, conf, features
-        return pred, conf
+            return pred, measure, features
+        return pred, measure

@@ -36,6 +36,12 @@ def make_mesh(num_devices: Optional[int] = None,
     if devices is None:
         devices = jax.devices()
     if num_devices is not None:
+        # Never truncate silently: a caller asking for 16 devices on an
+        # 8-chip host must not run on 8 believing it got 16.
+        if not 1 <= num_devices <= len(devices):
+            raise ValueError(
+                f"requested {num_devices} devices, but "
+                f"{len(devices)} are available")
         devices = devices[:num_devices]
     devs = np.asarray(devices)
     if len(axis_names) == 1:

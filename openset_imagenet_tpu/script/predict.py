@@ -17,6 +17,7 @@ Thin wrapper over :class:`openset_imagenet_tpu.inference.OpenSetPredictor`
 from __future__ import annotations
 
 import argparse
+import csv
 import pathlib
 import sys
 
@@ -71,7 +72,12 @@ def get_args(argv=None):
 
 
 def collect_paths(specs, root: pathlib.Path):
-    """Expand files / directories / listing files into image paths."""
+    """Expand files / directories / listing files into image paths.
+
+    Every returned path exists: a typo'd listing entry fails HERE with a
+    clear error, not minutes later inside the batch decoder with a
+    partial output CSV already written.
+    """
     paths = []
     for spec in specs:
         p = pathlib.Path(spec)
@@ -81,12 +87,19 @@ def collect_paths(specs, root: pathlib.Path):
             found = sorted(q for q in p.rglob("*")
                            if q.suffix.lower() in IMAGE_SUFFIXES)
             paths.extend(str(q) for q in found)
-        elif p.suffix.lower() in (".csv", ".txt"):
+        elif p.is_file() and p.suffix.lower() in (".csv", ".txt"):
             for line in p.read_text().splitlines():
                 rel = line.split(",")[0].strip()
-                if rel:
-                    paths.append(str(root / rel))
-        elif p.exists():
+                if not rel:
+                    continue
+                q = pathlib.Path(rel)
+                if not q.is_absolute():
+                    q = root / rel
+                if not q.is_file():
+                    raise FileNotFoundError(
+                        f"listing {p}: no such image: {rel}")
+                paths.append(str(q))
+        elif p.is_file():
             paths.append(str(p))
         else:
             raise FileNotFoundError(f"no such image/directory/listing: "
@@ -110,34 +123,32 @@ def main(argv=None):
     paths = collect_paths(args.images, pathlib.Path(args.imagenet_directory))
     if not paths:
         log.warning("no images found")
-        return 0
     mesh = None
-    if args.devices is not None:
-        import jax
-
+    if paths and args.devices is not None:
         from ..parallel.mesh import make_mesh
-        if not 1 <= args.devices <= len(jax.devices()):
-            raise SystemExit(
-                f"--devices {args.devices} out of range: "
-                f"{len(jax.devices())} device(s) visible")
         mesh = make_mesh(num_devices=args.devices)
-    predictor = OpenSetPredictor(
+    predictor = (OpenSetPredictor(
         args.checkpoint, n_classes=args.n_classes,
         variant=args.model_variant, image_size=args.image_size,
         threshold=args.threshold, mode=args.mode,
         has_background=args.background, mesh=mesh)
+        if paths else None)
 
+    # An empty match still writes the header: rc 0 + a well-formed (empty)
+    # predictions file, never a missing one.  Paths with commas are quoted
+    # (csv module semantics) so rows always parse back to three fields.
     out = (sys.stdout if args.output == "-"
-           else open(args.output, "w", encoding="utf-8"))
+           else open(args.output, "w", encoding="utf-8", newline=""))
     try:
-        out.write("path,prediction,score\n")
+        writer = csv.writer(out, lineterminator="\n")
+        writer.writerow(["path", "prediction", "score"])
         rejected = 0
         for i in range(0, len(paths), args.batch_size):
             chunk = paths[i:i + args.batch_size]
             pred, score = predictor.predict(chunk)
             rejected += int((pred == -1).sum())
             for p, c, s in zip(chunk, pred, score):
-                out.write(f"{p},{int(c)},{float(s):.6f}\n")
+                writer.writerow([p, int(c), f"{float(s):.6f}"])
     finally:
         if out is not sys.stdout:
             out.close()

@@ -23,6 +23,17 @@ def test_select_device_out_of_range():
         select_device(99)
 
 
+def test_make_mesh_never_truncates_silently():
+    """Requesting more devices than exist raises instead of quietly
+    running on fewer."""
+    from openset_imagenet_tpu.parallel.mesh import make_mesh
+
+    with pytest.raises(ValueError, match="are available"):
+        make_mesh(num_devices=99)
+    with pytest.raises(ValueError, match="are available"):
+        make_mesh(num_devices=0)
+
+
 def test_mesh_restricted_to_device():
     mesh = data_mesh_for_batch(8, devices=select_device(5))
     assert [d.id for d in mesh.devices.flat] == [5]

@@ -40,13 +40,20 @@ def test_predictor_classifies_and_rejects(trained):
     classes, _ = pred_rej.predict(images)
     assert np.all(classes == -1)
 
-    # Objectosphere mode + features.
+    # Objectosphere mode + features.  The returned score is the MODE'S
+    # rejection measure (||feature|| * max-softmax), not raw max-softmax:
+    # re-applying the threshold to it reconstructs the decisions.
     pred_os = OpenSetPredictor(ckpt, n_classes=3, variant="tiny",
                                image_size=32, threshold=1e9,
                                mode="objectosphere")
-    classes, scores, feats = pred_os.predict(images, return_features=True)
+    classes, os_scores, feats = pred_os.predict(images,
+                                                return_features=True)
     assert feats.shape == (8, 3)
     assert np.all(classes == -1)
+    _, sm_scores = pred.predict(images)
+    np.testing.assert_allclose(
+        os_scores, sm_scores * np.linalg.norm(feats, axis=-1),
+        rtol=1e-5, atol=1e-7)
 
 
 def test_garbage_predictor_excludes_background(trained):
@@ -62,6 +69,47 @@ def test_garbage_predictor_excludes_background(trained):
         0, 256, (6, 32, 32, 3), np.uint8)
     classes, _ = pred.predict(images)
     assert np.all(classes < 3)  # background index (3) never predicted
+
+
+def test_predict_cli_edge_cases(trained, tmp_path):
+    """Missing listing entries fail up front with a clear error; comma
+    paths are csv-quoted; an empty match still writes a header-only CSV
+    with rc 0."""
+    import csv
+
+    from PIL import Image
+
+    from openset_imagenet_tpu.script.predict import collect_paths, main
+
+    root, cfg = trained
+    ckpt = cfg.output_directory / "entropic_best.pth"
+
+    # A listing with a typo'd path fails at collection, not mid-decode.
+    listing = tmp_path / "bad.csv"
+    listing.write_text("no/such/image.png,0\n")
+    with pytest.raises(FileNotFoundError, match="no such image"):
+        collect_paths([str(listing)], tmp_path)
+
+    # Comma in the filename: the row still parses back to three fields.
+    rng = np.random.default_rng(5)
+    comma = tmp_path / "beach, day.jpg"
+    Image.fromarray(rng.integers(0, 256, (32, 32, 3),
+                                 np.uint8)).save(comma)
+    out = tmp_path / "comma.csv"
+    assert main([str(ckpt), "3", str(comma), "--model-variant", "tiny",
+                 "--image-size", "32", "-o", str(out)]) == 0
+    rows = list(csv.reader(out.open()))
+    assert rows[0] == ["path", "prediction", "score"]
+    assert len(rows) == 2 and len(rows[1]) == 3
+    assert rows[1][0] == str(comma)
+
+    # Empty match: rc 0 AND a well-formed header-only output file.
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    out2 = tmp_path / "none.csv"
+    assert main([str(ckpt), "3", str(empty), "--model-variant", "tiny",
+                 "--image-size", "32", "-o", str(out2)]) == 0
+    assert out2.read_text() == "path,prediction,score\n"
 
 
 def test_mesh_predictor_matches_single_device(trained):
