@@ -101,6 +101,34 @@ def test_progressive_jpeg_matches_baseline_encoding():
     np.testing.assert_array_equal(a, b)
 
 
+def test_cmyk_jpeg_falls_back_to_pil():
+    """ImageNet contains a handful of CMYK JPEGs.  libjpeg cannot convert
+    CMYK->RGB, so the native path must FAIL CLEANLY (None, no silently
+    wrong pixels) and the batch reader must deliver the PIL-parity pixels
+    via its fallback (reference semantics: Image.open().convert('RGB'),
+    reference dataset.py:46-48)."""
+    rng = np.random.default_rng(9)
+    arr = rng.integers(0, 256, (300, 400, 4), np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr, mode="CMYK").save(buf, "JPEG", quality=90)
+    assert nj.decode_resize_crop(buf.getvalue(), 256, 224) is None
+
+    import pathlib
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".jpg", delete=False) as f:
+        f.write(buf.getvalue())
+        path = f.name
+    try:
+        reader = nj.NativeBatchReader(crop=224, resize=256)
+        out = reader.read_batch([path], [None])
+        assert out.shape == (1, 224, 224, 3)
+        expected = T.eval_transform(T.decode_image(path), 224, 256)
+        np.testing.assert_array_equal(out[0], expected)
+    finally:
+        pathlib.Path(path).unlink()
+
+
 def test_corrupt_jpeg_returns_none():
     assert nj.decode_resize_crop(b"\xff\xd8garbage", 256, 224) is None
 
