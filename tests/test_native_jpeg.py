@@ -133,6 +133,37 @@ def test_corrupt_jpeg_returns_none():
     assert nj.decode_resize_crop(b"\xff\xd8garbage", 256, 224) is None
 
 
+def test_truncated_and_masquerading_files_fail_cleanly():
+    """A truncated JPEG stream (error mid-scan, after start_decompress)
+    and a PNG masquerading under a .JPEG name (ImageNet famously ships
+    one) both return None — the reader then falls back to PIL, which
+    handles the PNG and raises on true truncation (reference parity:
+    Image.open().convert('RGB') raises there too)."""
+    rng = np.random.default_rng(2)
+    arr = rng.integers(0, 256, (300, 400, 3), np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, "JPEG", quality=90)
+    data = buf.getvalue()
+    assert nj.decode_resize_crop(data[:len(data) // 2], 256, 224) is None
+
+    png = io.BytesIO()
+    Image.fromarray(arr).save(png, "PNG")
+    assert nj.decode_resize_crop(png.getvalue(), 256, 224) is None
+    # Reader-level: the PNG decodes via the PIL fallback.
+    import pathlib
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".JPEG", delete=False) as f:
+        f.write(png.getvalue())
+        path = f.name
+    try:
+        out = nj.NativeReader(crop=224, resize=256)(path, None)
+        expected = T.eval_transform(T.decode_image(path), 224, 256)
+        np.testing.assert_array_equal(out, expected)
+    finally:
+        pathlib.Path(path).unlink()
+
+
 def test_truncated_jpeg_rejected_not_gray():
     """Truncated entropy data is only a WARNING to libjpeg (it fakes an
     EOI and fills the rest with gray); the native decoder must REJECT such
