@@ -100,6 +100,27 @@ class OpenSetPredictor:
             return self._reader.read_batch(paths, [None] * len(paths))
         return np.stack([self._reader(p, None) for p in paths])
 
+    def warmup(self, max_batch: int = 256) -> "OpenSetPredictor":
+        """Pre-compile every bucketed batch shape up to ``max_batch``.
+
+        ``predict`` pads requests to power-of-two buckets (times the mesh
+        device count), so a deployment serves from a small fixed set of
+        compiled programs — but the FIRST request of each bucket pays the
+        XLA compile (minutes for ResNet-50 on a cold TPU).  Call this
+        before taking traffic to move all compiles to start-up.
+        """
+        b = self._bucket_unit
+        while True:
+            images = np.zeros((b, self.image_size, self.image_size, 3),
+                              np.uint8)
+            _, _, scores = self._forward(self._state, images)
+            # Scalar fetch = real synchronization (block_until_ready is a
+            # no-op through some remote-device transports).
+            float(np.asarray(scores)[0, 0])
+            if b >= max_batch:
+                return self
+            b *= 2
+
     # -- prediction -----------------------------------------------------------
     def predict(self, inputs: Iterable, return_features: bool = False):
         """Classify images (paths or a uint8 ``[N, H, W, 3]`` array).

@@ -149,6 +149,7 @@ def main(argv=None):
             rejected += int((pred == -1).sum())
             for p, c, s in zip(chunk, pred, score):
                 writer.writerow([p, int(c), f"{float(s):.6f}"])
+            out.flush()  # long runs stay tail-able / resumable
     finally:
         if out is not sys.stdout:
             out.close()

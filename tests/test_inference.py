@@ -71,6 +71,30 @@ def test_garbage_predictor_excludes_background(trained):
     assert np.all(classes < 3)  # background index (3) never predicted
 
 
+def test_warmup_precompiles_buckets(trained):
+    """warmup() touches every bucketed shape up to max_batch; later
+    requests of any size <= max_batch hit compiled programs (asserted via
+    jit cache-miss counters) and predictions are unchanged."""
+    from jax._src import test_util as jtu
+
+    from openset_imagenet_tpu.inference import OpenSetPredictor
+
+    root, cfg = trained
+    ckpt = cfg.output_directory / "entropic_best.pth"
+    pred = OpenSetPredictor(ckpt, n_classes=3, variant="tiny",
+                            image_size=32)
+    assert pred.warmup(max_batch=8) is pred
+    images = np.random.default_rng(4).integers(
+        0, 256, (6, 32, 32, 3), np.uint8)
+    with jtu.count_jit_tracing_cache_miss() as misses:
+        c, s = pred.predict(images)       # pads to bucket 8: warmed
+        c2, s2 = pred.predict(images[:3])  # bucket 4: warmed
+    assert misses() == 0, "warmed bucket still recompiled"
+    assert c.shape == (6,) and np.all((s > 0) & (s <= 1))
+    np.testing.assert_array_equal(c[:3], c2)
+    np.testing.assert_allclose(s[:3], s2, rtol=1e-6)
+
+
 def test_predict_cli_edge_cases(trained, tmp_path):
     """Missing listing entries fail up front with a clear error; comma
     paths are csv-quoted; an empty match still writes a header-only CSV
