@@ -136,6 +136,49 @@ def test_predict_cli_edge_cases(trained, tmp_path):
     assert out2.read_text() == "path,prediction,score\n"
 
 
+def test_predict_cli_serves_torch_checkpoint(trained, tmp_path):
+    """The CLI's checkpoint argument accepts the reference's torch .pth
+    format (auto-converted): identical predictions to the native file."""
+    import optax
+    from PIL import Image
+
+    import jax
+
+    from openset_imagenet_tpu.checkpoint import load_checkpoint
+    from openset_imagenet_tpu.config import NameSpace
+    from openset_imagenet_tpu.convert import save_reference_checkpoint
+    from openset_imagenet_tpu.script.predict import main
+
+    root, cfg = trained
+    native = cfg.output_directory / "entropic_best.pth"
+    model = engine.build_model(
+        NameSpace({"model": {"variant": "tiny"}, "seed": 0, "data": {}}), 3)
+    state = engine.create_state(model, jax.random.PRNGKey(0),
+                                optax.identity(), image_size=32)
+    state, _, _ = load_checkpoint(native, state, restore_opt=False)
+    torch_path = tmp_path / "exported_reference.pth"
+    save_reference_checkpoint(torch_path, state, epoch=1, best_score=0.5)
+
+    rng = np.random.default_rng(6)
+    imgs = tmp_path / "imgs"
+    imgs.mkdir()
+    for i in range(4):
+        Image.fromarray(rng.integers(0, 256, (32, 32, 3),
+                                     np.uint8)).save(imgs / f"t{i}.png")
+    out_a, out_b = tmp_path / "native.csv", tmp_path / "torch.csv"
+    base = ["3", str(imgs), "--model-variant", "tiny",
+            "--image-size", "32"]
+    assert main([str(native)] + base + ["-o", str(out_a)]) == 0
+    assert main([str(torch_path)] + base + ["-o", str(out_b)]) == 0
+    rows_a = [l.rsplit(",", 2) for l in
+              out_a.read_text().strip().splitlines()[1:]]
+    rows_b = [l.rsplit(",", 2) for l in
+              out_b.read_text().strip().splitlines()[1:]]
+    assert [r[1] for r in rows_a] == [r[1] for r in rows_b]
+    for (_, _, sa), (_, _, sb) in zip(rows_a, rows_b):
+        assert abs(float(sa) - float(sb)) < 1e-5
+
+
 def test_mesh_predictor_matches_single_device(trained):
     """Data-parallel serving: an 8-device mesh predictor returns the same
     classes/scores as the single-device one, including on a ragged batch
