@@ -70,6 +70,32 @@ def save_checkpoint(f_name, state, epoch: int, best_score: float,
     tmp.replace(f_name)  # atomic: a crash never corrupts _curr.pth
 
 
+def _assert_shapes_match(template, restored, what: str) -> None:
+    """Fail at LOAD time when checkpoint tensor shapes disagree with the
+    model being restored into.
+
+    ``flax.serialization.from_state_dict`` checks structure but not leaf
+    shapes, so e.g. serving/evaluating with the wrong ``n_classes`` (or
+    variant) would otherwise surface only at the first forward pass as a
+    cryptic ``ScopeParamShapeError`` blaming an "initializer".
+    """
+    mismatched = []
+    for (path, a), b in zip(jax.tree_util.tree_leaves_with_path(template),
+                            jax.tree.leaves(restored)):
+        if np.shape(a) != np.shape(b):
+            mismatched.append(
+                f"{jax.tree_util.keystr(path)}: checkpoint {np.shape(b)} "
+                f"vs model {np.shape(a)}")
+    if mismatched:
+        shown = "; ".join(mismatched[:5])
+        if len(mismatched) > 5:
+            shown += f"; ... ({len(mismatched) - 5} more)"
+        raise ValueError(
+            f"checkpoint {what} shapes do not match the model being "
+            f"restored (wrong n_classes / fc_layer_dim / model variant?): "
+            f"{shown}")
+
+
 def load_checkpoint(checkpoint, state, restore_opt: bool = True
                     ) -> Tuple[Any, int, float]:
     """Load a checkpoint into ``state``; returns ``(state, start_epoch, best)``.
@@ -89,6 +115,8 @@ def load_checkpoint(checkpoint, state, restore_opt: bool = True
                                            payload["model_state_dict"])
     batch_stats = serialization.from_state_dict(state.batch_stats,
                                                 payload["batch_stats"])
+    _assert_shapes_match(state.params, params, "parameter")
+    _assert_shapes_match(state.batch_stats, batch_stats, "batch-stats")
     if restore_opt:
         opt_state = serialization.from_state_dict(state.opt_state,
                                                   payload["opt_state_dict"])

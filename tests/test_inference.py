@@ -136,6 +136,18 @@ def test_predict_cli_edge_cases(trained, tmp_path):
     assert out2.read_text() == "path,prediction,score\n"
 
 
+def test_wrong_n_classes_fails_at_load(trained):
+    """A checkpoint/model shape mismatch (wrong n_classes or variant)
+    raises a clear ValueError at LOAD time — not a ScopeParamShapeError
+    at the first forward pass."""
+    from openset_imagenet_tpu.inference import OpenSetPredictor
+
+    root, cfg = trained
+    ckpt = cfg.output_directory / "entropic_best.pth"
+    with pytest.raises(ValueError, match="n_classes"):
+        OpenSetPredictor(ckpt, n_classes=7, variant="tiny", image_size=32)
+
+
 def test_predict_cli_serves_torch_checkpoint(trained, tmp_path):
     """The CLI's checkpoint argument accepts the reference's torch .pth
     format (auto-converted): identical predictions to the native file."""
