@@ -70,6 +70,15 @@ def save_checkpoint(f_name, state, epoch: int, best_score: float,
     tmp.replace(f_name)  # atomic: a crash never corrupts _curr.pth
 
 
+class CheckpointShapeError(ValueError):
+    """Checkpoint tensor shapes disagree with the model being restored.
+
+    A distinct type so :func:`load_weights_any_format` can re-raise it
+    directly instead of misinterpreting it as "not a native checkpoint"
+    and pointlessly re-reading the file through the torch fallback.
+    """
+
+
 def _assert_shapes_match(template, restored, what: str) -> None:
     """Fail at LOAD time when checkpoint tensor shapes disagree with the
     model being restored into.
@@ -81,7 +90,7 @@ def _assert_shapes_match(template, restored, what: str) -> None:
     """
     mismatched = []
     for (path, a), b in zip(jax.tree_util.tree_leaves_with_path(template),
-                            jax.tree.leaves(restored)):
+                            jax.tree.leaves(restored), strict=True):
         if np.shape(a) != np.shape(b):
             mismatched.append(
                 f"{jax.tree_util.keystr(path)}: checkpoint {np.shape(b)} "
@@ -90,7 +99,7 @@ def _assert_shapes_match(template, restored, what: str) -> None:
         shown = "; ".join(mismatched[:5])
         if len(mismatched) > 5:
             shown += f"; ... ({len(mismatched) - 5} more)"
-        raise ValueError(
+        raise CheckpointShapeError(
             f"checkpoint {what} shapes do not match the model being "
             f"restored (wrong n_classes / fc_layer_dim / model variant?): "
             f"{shown}")
@@ -143,6 +152,10 @@ def load_weights_any_format(checkpoint, state, model, image_size: int = 224):
         # restore_opt=False hardcodes best=0.0 (finetune contract); report
         # the stored score here so both formats return the same triple.
         return new_state, epoch, read_metadata(checkpoint)["best_score"]
+    except CheckpointShapeError:
+        # It IS a native checkpoint — just for a different model config.
+        # Surface the clear error instead of chaining a torch fallback.
+        raise
     except Exception as msgpack_err:  # not a native checkpoint
         try:
             from .convert import load_reference_checkpoint

@@ -100,6 +100,20 @@ class OpenSetPredictor:
             return self._reader.read_batch(paths, [None] * len(paths))
         return np.stack([self._reader(p, None) for p in paths])
 
+    def _bucket(self, n: int) -> int:
+        """Padded batch size for an ``n``-image request.
+
+        Static shapes under jit: requests pad to the next power of two
+        (times the mesh device count, so every batch shards evenly) and
+        reuse a handful of compiled programs instead of compiling per
+        batch size (BN runs on running stats, so padded rows are dropped
+        afterwards with no effect).  Single source of truth for
+        ``predict`` and ``warmup`` — their bucket ladders must never
+        drift apart.
+        """
+        unit = self._bucket_unit
+        return unit * (1 << max(0, (-(-n // unit) - 1)).bit_length())
+
     def warmup(self, max_batch: int = 256) -> "OpenSetPredictor":
         """Pre-compile every bucketed batch shape up to ``max_batch``.
 
@@ -109,7 +123,7 @@ class OpenSetPredictor:
         XLA compile (minutes for ResNet-50 on a cold TPU).  Call this
         before taking traffic to move all compiles to start-up.
         """
-        b = self._bucket_unit
+        b = self._bucket(1)
         while True:
             images = np.zeros((b, self.image_size, self.image_size, 3),
                               np.uint8)
@@ -119,7 +133,7 @@ class OpenSetPredictor:
             float(np.asarray(scores)[0, 0])
             if b >= max_batch:
                 return self
-            b *= 2
+            b = self._bucket(b + 1)
 
     # -- prediction -----------------------------------------------------------
     def predict(self, inputs: Iterable, return_features: bool = False):
@@ -130,14 +144,7 @@ class OpenSetPredictor:
         """
         images = self._load_images(inputs)
         n = images.shape[0]
-        # Static shapes under jit: pad to the next power of two so arbitrary
-        # request sizes reuse a handful of compiled programs instead of
-        # compiling per batch size (BN runs on running stats, so padded
-        # rows are dropped afterwards with no effect).  Under a mesh the
-        # bucket is a multiple of the device count so every batch shards
-        # evenly.
-        unit = self._bucket_unit
-        bucket = unit * (1 << max(0, (-(-n // unit) - 1)).bit_length())
+        bucket = self._bucket(n)
         if bucket != n:
             pad = np.zeros((bucket - n, *images.shape[1:]), images.dtype)
             images = np.concatenate([images, pad])
