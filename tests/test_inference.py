@@ -71,6 +71,24 @@ def test_garbage_predictor_excludes_background(trained):
     assert np.all(classes < 3)  # background index (3) never predicted
 
 
+def test_bucket_helper_properties():
+    """The shared predict/warmup bucket ladder: unit-divisible, >= n,
+    idempotent on its own values, and minimal (halving would undershoot)."""
+    from types import SimpleNamespace
+
+    from openset_imagenet_tpu.inference import OpenSetPredictor
+
+    bucket = OpenSetPredictor._bucket
+    for unit in (1, 2, 3, 5, 8):
+        fake = SimpleNamespace(_bucket_unit=unit)
+        for n in range(0, 80):
+            b = bucket(fake, n)
+            assert b % unit == 0 and b >= max(n, unit), (unit, n, b)
+            assert bucket(fake, b) == b, (unit, n, b)
+            if b > unit:
+                assert b // 2 < max(n, 1) or b // 2 % unit, (unit, n, b)
+
+
 def test_warmup_precompiles_buckets(trained):
     """warmup() touches every bucketed shape up to max_batch; later
     requests of any size <= max_batch hit compiled programs (asserted via
