@@ -6,6 +6,20 @@ interface.  The shared library is compiled on first use with ``g++ -O3``
 and cached next to the sources; any failure (no toolchain, no libjpeg,
 corrupt file) degrades gracefully to the PIL reader, so the native path is
 a pure acceleration.
+
+Corrupt-input divergence from PIL (intentional, tested): the native decoder
+is window-restricted — it stops consuming scanlines once the crop window is
+filled (``osijpeg.cpp`` decode loop), so a truncated/damaged JPEG whose
+damage lies entirely BELOW the sampled rows decodes cleanly, while the
+PIL path (and the reference's torchvision loader) scans to EOI and raises.
+Acceptance can therefore depend on crop position under random-crop
+training: the same damaged file may decode natively for a top crop and
+fall back to PIL (raising) for a bottom crop.  This trades strict
+whole-file validation for not paying decode cost on rows that are
+immediately discarded; pipelines that must reject every damaged file
+byte-for-byte like the reference should use ``reader="pil"``
+(``tests/test_native_jpeg.py::test_truncation_below_sampled_window_
+decodes_clean`` locks the behavior).
 """
 
 from __future__ import annotations

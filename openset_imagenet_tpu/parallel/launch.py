@@ -191,6 +191,7 @@ def spawn(command: Sequence[str], nproc: int, cpu: bool = False,
         argv = [sys.executable, "-m"] + argv
     procs = []
     for rank in range(nproc):
+        log = None
         if log_dir is not None:
             log = open(os.path.join(log_dir, f"rank{rank}.log"), "wb")
             out = err = log
@@ -202,6 +203,11 @@ def spawn(command: Sequence[str], nproc: int, cpu: bool = False,
             argv, env=_child_env(base_env, rank, nproc, port, cpu,
                                  devices_per_process),
             stdout=out, stderr=err))
+        if log is not None:
+            # The child holds its own duplicated fd; keeping the parent's
+            # copy open leaks one fd per rank per launch (tests and the
+            # dryrun call launch repeatedly in-process).
+            log.close()
     return procs
 
 
@@ -213,7 +219,8 @@ def launch(command: Sequence[str], nproc: int, cpu: bool = False,
     """Run ``command`` in ``nproc`` coordinated processes; return exit codes.
 
     ``command`` is an argv suffix executed as ``python -m cmd[0] cmd[1:]``
-    when ``cmd[0]`` looks like a module path, else verbatim.
+    when ``cmd[0]`` looks like a module path, else as a script path run via
+    ``sys.executable cmd[0] cmd[1:]``.
     ``log_dir`` captures each rank's output to ``rank{i}.log`` there.
     """
     procs = spawn(command, nproc, cpu=cpu,

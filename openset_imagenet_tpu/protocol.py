@@ -106,8 +106,20 @@ class OpenSetProtocol:
         self.kn_classes: List[str] = []
         self.neg_classes: List[str] = []
         self.unk_classes: List[str] = []
-        self._neg_set = None
         self.label_map: Dict[str, int] = {}
+
+    @property
+    def neg_classes(self) -> List[str]:
+        return self._neg_classes
+
+    @neg_classes.setter
+    def neg_classes(self, value) -> None:
+        # The setter keeps the O(1) membership set for get_label in sync
+        # with ANY assignment — including a direct equal-length replacement
+        # between get_label calls, which a lazy length check could not
+        # distinguish from the current list.
+        self._neg_classes = list(value)
+        self._neg_set = frozenset(self._neg_classes)
 
     # -- class-set construction (reference protocol.py:125-168) ------------
     def get_descendants_wid(self, wnid: str, in_imagenet: bool = True):
@@ -162,10 +174,6 @@ class OpenSetProtocol:
         self.neg_classes = sorted(set(neg))
         self.unk_classes = sorted(set(unk))
         self.label_map = {wnid: i for i, wnid in enumerate(self.kn_classes)}
-        # Rebuild eagerly: lazy length-based invalidation in get_label would
-        # keep a stale set if neg_classes were replaced by an equal-length
-        # list after a parse_class call.
-        self._neg_set = frozenset(self.neg_classes)
 
     def get_label(self, class_name: str) -> int:
         """0..N-1 for knowns, -1 negatives, -2 unknowns."""
@@ -173,13 +181,8 @@ class OpenSetProtocol:
             return self.label_map[class_name]
         # O(1) set membership: called once per image over ~hundreds of
         # thousands of images (the list scan was the builder's hot spot).
-        # update_classes() rebuilds the set eagerly whenever it assigns
-        # neg_classes; the length check additionally catches DIRECT
-        # neg_classes reassignment between get_label calls (equal-length
-        # replacement is handled by the eager rebuild).
-        if self._neg_set is None or len(self._neg_set) != len(
-                self.neg_classes):
-            self._neg_set = frozenset(self.neg_classes)
+        # The neg_classes property setter keeps _neg_set in sync with every
+        # assignment, so it is never stale here.
         if class_name in self._neg_set:
             return -1
         return -2

@@ -88,8 +88,17 @@ def collect_paths(specs, root: pathlib.Path):
                            if q.suffix.lower() in IMAGE_SUFFIXES)
             paths.extend(str(q) for q in found)
         elif p.is_file() and p.suffix.lower() in (".csv", ".txt"):
-            for line in p.read_text().splitlines():
-                rel = line.split(",")[0].strip()
+            # csv.reader mirrors the quoting our own output writer emits,
+            # so a predictions CSV (paths with commas are csv-quoted)
+            # round-trips as an input listing; a leading header row equal
+            # to the output header is skipped.
+            with p.open(newline="") as f:
+                rows = list(csv.reader(f))
+            if rows and [c.strip() for c in rows[0][:3]] == [
+                    "path", "prediction", "score"]:
+                rows = rows[1:]
+            for row in rows:
+                rel = row[0].strip() if row else ""
                 if not rel:
                     continue
                 q = pathlib.Path(rel)
@@ -143,9 +152,13 @@ def main(argv=None):
         writer = csv.writer(out, lineterminator="\n")
         writer.writerow(["path", "prediction", "score"])
         rejected = 0
-        for i in range(0, len(paths), args.batch_size):
-            chunk = paths[i:i + args.batch_size]
-            pred, score = predictor.predict(chunk)
+        # Pipelined: decode of chunk k+1 overlaps the device forward of
+        # chunk k (predict_stream); the old serial chunk loop idled the
+        # device during host decode.
+        stream = (predictor.predict_stream(paths,
+                                           batch_size=args.batch_size)
+                  if paths else ())
+        for chunk, pred, score in stream:
             rejected += int((pred == -1).sum())
             for p, c, s in zip(chunk, pred, score):
                 writer.writerow([p, int(c), f"{float(s):.6f}"])
