@@ -305,3 +305,116 @@ def test_predict_cli_end_to_end(trained, tmp_path):
     assert rc == 0
     assert out2.read_text().strip().splitlines()[1].rsplit(
         ",", 2)[1] == "-1"
+
+
+def test_predict_stream_matches_serial_predict(trained):
+    """predict_stream (pipelined) is bitwise-identical to per-chunk
+    predict() calls and yields chunks in input order."""
+    from openset_imagenet_tpu.inference import OpenSetPredictor
+
+    root, cfg = trained
+    ckpt = cfg.output_directory / "entropic_best.pth"
+    pred = OpenSetPredictor(ckpt, n_classes=3, variant="tiny",
+                            image_size=32, threshold=0.4)
+
+    rng = np.random.default_rng(7)
+    images = rng.integers(0, 256, (11, 32, 32, 3), np.uint8)
+    tokens = list(range(11))
+    pred._load_images = lambda chunk: (
+        chunk if isinstance(chunk, np.ndarray)
+        else images[np.asarray(chunk)])
+
+    batch = 4
+    got_chunks, got_cls, got_scores = [], [], []
+    for chunk, cls, scores in pred.predict_stream(tokens, batch_size=batch):
+        got_chunks.append(chunk)
+        got_cls.append(cls)
+        got_scores.append(scores)
+    assert got_chunks == [tokens[i:i + batch]
+                          for i in range(0, len(tokens), batch)]
+    for i, (cls, scores) in enumerate(zip(got_cls, got_scores)):
+        ref_cls, ref_scores = pred.predict(images[i * batch:(i + 1) * batch])
+        np.testing.assert_array_equal(cls, ref_cls)
+        np.testing.assert_array_equal(scores, ref_scores)
+
+
+def test_predict_stream_decodes_ahead(trained):
+    """The producer thread decodes ahead of the consumer (the whole point
+    of the pipeline): while the consumer sits on the first chunk, later
+    chunks must already be decoding."""
+    import time
+
+    from openset_imagenet_tpu.inference import OpenSetPredictor
+
+    root, cfg = trained
+    ckpt = cfg.output_directory / "entropic_best.pth"
+    pred = OpenSetPredictor(ckpt, n_classes=3, variant="tiny", image_size=32)
+
+    rng = np.random.default_rng(9)
+    images = rng.integers(0, 256, (12, 32, 32, 3), np.uint8)
+    decoded = []
+
+    def loader(chunk):
+        decoded.append(list(chunk))
+        return images[np.asarray(chunk)]
+
+    pred._load_images = loader
+    stream = pred.predict_stream(list(range(12)), batch_size=4, prefetch=2)
+    next(stream)
+    deadline = time.monotonic() + 10.0
+    # Consumer holds the first result; the producer should decode ahead
+    # (prefetch=2 queue + the one being built) without further pulls.
+    while len(decoded) < 2 and time.monotonic() < deadline:
+        time.sleep(0.02)
+    assert len(decoded) >= 2, f"no decode-ahead observed: {decoded}"
+    stream.close()
+
+
+def test_predict_stream_propagates_decode_errors(trained):
+    from openset_imagenet_tpu.inference import OpenSetPredictor
+
+    root, cfg = trained
+    ckpt = cfg.output_directory / "entropic_best.pth"
+    pred = OpenSetPredictor(ckpt, n_classes=3, variant="tiny", image_size=32)
+
+    def loader(chunk):
+        raise OSError("corrupt image in chunk")
+
+    pred._load_images = loader
+    with pytest.raises(OSError, match="corrupt image"):
+        list(pred.predict_stream([1, 2, 3], batch_size=2))
+
+
+def test_listing_roundtrip_of_predictions_csv(trained, tmp_path):
+    """A predictions CSV (with csv-quoted comma paths and a header row)
+    parses back as an input listing: the CLI's own output is a valid
+    input (ADVICE round 3)."""
+    import csv
+
+    from PIL import Image
+
+    from openset_imagenet_tpu.script.predict import collect_paths, main
+
+    root, cfg = trained
+    ckpt = cfg.output_directory / "entropic_best.pth"
+
+    rng = np.random.default_rng(11)
+    comma = tmp_path / "city, night.jpg"
+    plain = tmp_path / "plain.jpg"
+    for p in (comma, plain):
+        Image.fromarray(rng.integers(0, 256, (32, 32, 3), np.uint8)).save(p)
+
+    out = tmp_path / "preds.csv"
+    assert main([str(ckpt), "3", str(comma), str(plain), "--model-variant",
+                 "tiny", "--image-size", "32", "-o", str(out)]) == 0
+
+    # Round-trip: feed the predictions CSV back as the listing.
+    paths = collect_paths([str(out)], tmp_path)
+    assert paths == [str(comma), str(plain)]
+
+    # And the full CLI accepts it too.
+    out2 = tmp_path / "preds2.csv"
+    assert main([str(ckpt), "3", str(out), "--model-variant", "tiny",
+                 "--image-size", "32", "-o", str(out2)]) == 0
+    rows = list(csv.reader(out2.open()))
+    assert [r[0] for r in rows[1:]] == [str(comma), str(plain)]
