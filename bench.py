@@ -203,15 +203,21 @@ def main():
         # step is declared HBM-bound when its sustained effective
         # bandwidth (cost-analysis bytes / measured step time, whole-step
         # program) reaches >=85% of the v5e HBM spec (~819 GB/s).
-        # BENCH.md round-4 has the per-fusion attribution behind this.
+        # BENCH.md round-4 records the shipping profile's measurement.
+        # For an SPMD-partitioned program XLA's cost_analysis() reports
+        # PER-DEVICE bytes/flops (verified empirically: an 8-way sharded
+        # program reports ~1/8 of the unsharded bytes), so the per-chip
+        # rates below divide by step time only — dividing by n_chips
+        # again would under-report bandwidth n_chips-fold on multi-chip
+        # hosts and silently flip hbm_bound to false.
         hbm_spec_gbps = 819.0
         step_s = global_batch / imgs_per_sec
-        gbps = cost["bytes"] / step_s / 1e9 / n_chips
+        gbps = cost["bytes"] / step_s / 1e9
         record.update({
-            "bytes_per_step_gb": round(cost["bytes"] / 1e9, 1),
+            "bytes_per_step_gb_per_chip": round(cost["bytes"] / 1e9, 1),
             "sustained_gbps": round(gbps, 0),
             "tflops_effective": round(cost.get("flops", 0.0)
-                                      / step_s / 1e12 / n_chips, 1),
+                                      / step_s / 1e12, 1),
             "hbm_bound": bool(gbps >= 0.85 * hbm_spec_gbps),
         })
     print(json.dumps(record))

@@ -78,10 +78,16 @@ def _palette(rng, n, min_dist=70.0, lo=30.0, hi=225.0):
     can tell negatives from unknowns by *kind* — only by generalization.
     """
     colors = []
-    while len(colors) < n:
+    for _ in range(10_000):
+        if len(colors) == n:
+            break
         c = rng.uniform(lo, hi, 3)
         if all(np.linalg.norm(c - o) >= min_dist for o in colors):
             colors.append(c)
+    else:
+        raise ValueError(
+            f"could not place {n} colors with min_dist {min_dist} in "
+            f"[{lo},{hi}]^3 after 10000 samples — infeasible packing")
     return np.asarray(colors, np.float32)
 
 
@@ -156,8 +162,13 @@ def build_arm(p, loss_type, task):
     if loss_type == "garbage":
         # Balanced weights from the ACTUAL surgered train labels
         # (reference dataset.py:77-86 via calculate_class_weights).
+        # bincount keeps index == class id even if some class is absent
+        # from a small/overridden split (np.unique would misalign).
         _, lbl = surgery("garbage", *task["train"], K, train=True)
-        _, counts = np.unique(lbl, return_counts=True)
+        counts = np.bincount(lbl, minlength=K + 1)
+        if (counts == 0).any():
+            raise ValueError(f"empty train class(es) {np.where(counts == 0)[0]}"
+                             " — grow the split or shrink k_known")
         class_weights = (len(lbl) / (counts * (K + 1))).astype(np.float32)
     else:
         class_weights = None
@@ -249,7 +260,10 @@ def run_arm(p, arm, loss_type, seed):
     kn_conf, _, unk_conf, _ = confidence(
         scores, gt, offset=offset, unknown_class=-2,
         last_valid_class=last_valid)
-    ccr, fpr = calculate_oscr(gt, scores, unk_label=-2)
+    # OSCR contract (ops/oscr.py:31-33, reference util.py:186-188): the
+    # caller drops the garbage model's background column first — else
+    # argmax/max pick column K for exactly the unknown rows.
+    ccr, fpr = calculate_oscr(gt, scores[:, :K], unk_label=-2)
     trapz = getattr(np, "trapezoid", np.trapz)
     order = np.argsort(fpr)
     auc = float(trapz(np.asarray(ccr)[order], np.sort(fpr))) if len(ccr) \

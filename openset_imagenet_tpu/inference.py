@@ -229,6 +229,16 @@ class OpenSetPredictor:
             while True:
                 item = out_q.get()
                 if isinstance(item, BaseException):
+                    # A later chunk's decode failed, but the already-
+                    # dispatched pending chunk is valid, fully-computed
+                    # work — yield it first so callers flushing per chunk
+                    # (script/predict.py) keep every row that preceded
+                    # the bad input, exactly like the serial loop did.
+                    if pending is not None:
+                        pchunk, pn, pout = pending
+                        results = self._finish(pn, pout, return_features)
+                        pending = None
+                        yield (pchunk, *results)
                     raise item
                 if item is None:
                     break

@@ -54,6 +54,11 @@ def get_args(argv=None):
     parser.add_argument("--model-variant", default="resnet50")
     parser.add_argument("--image-size", type=int, default=224)
     parser.add_argument("--batch-size", type=int, default=64)
+    parser.add_argument("--no-stream", action="store_true",
+                        help="Serial chunk loop (decode, then forward) "
+                             "instead of the default pipelined "
+                             "predict_stream — escape hatch that keeps "
+                             "everything on the calling thread")
     parser.add_argument("--output", "-o", default="-",
                         help="Predictions CSV path ('-' = stdout)")
     parser.add_argument("--gpu", "-g", type=int, nargs="?", default=None,
@@ -152,12 +157,19 @@ def main(argv=None):
         writer = csv.writer(out, lineterminator="\n")
         writer.writerow(["path", "prediction", "score"])
         rejected = 0
-        # Pipelined: decode of chunk k+1 overlaps the device forward of
-        # chunk k (predict_stream); the old serial chunk loop idled the
-        # device during host decode.
-        stream = (predictor.predict_stream(paths,
-                                           batch_size=args.batch_size)
-                  if paths else ())
+        # Pipelined by default: decode of chunk k+1 overlaps the device
+        # forward of chunk k (predict_stream); the serial chunk loop
+        # (--no-stream) idles the device during host decode but avoids
+        # the producer thread.
+        def serial():
+            for i in range(0, len(paths), args.batch_size):
+                chunk = paths[i:i + args.batch_size]
+                yield (chunk, *predictor.predict(chunk))
+
+        stream = () if not paths else (
+            serial() if args.no_stream
+            else predictor.predict_stream(paths,
+                                          batch_size=args.batch_size))
         for chunk, pred, score in stream:
             rejected += int((pred == -1).sum())
             for p, c, s in zip(chunk, pred, score):

@@ -307,6 +307,34 @@ def test_predict_cli_end_to_end(trained, tmp_path):
         ",", 2)[1] == "-1"
 
 
+def test_predict_cli_no_stream_matches_default(trained, tmp_path):
+    """--no-stream (serial chunk loop) writes the identical CSV to the
+    default pipelined path."""
+    from PIL import Image
+
+    from openset_imagenet_tpu.script.predict import main
+
+    root, cfg = trained
+    ckpt = cfg.output_directory / "entropic_best.pth"
+    rng = np.random.default_rng(13)
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    for i in range(5):
+        arr = rng.integers(0, 256, (32, 32, 3), np.uint8)
+        Image.fromarray(arr).save(img_dir / f"im{i}.png")
+
+    outs = {}
+    for flag in ((), ("--no-stream",)):
+        out = tmp_path / f"pred{'_serial' if flag else ''}.csv"
+        rc = main([str(ckpt), "3", str(img_dir),
+                   "--model-variant", "tiny", "--image-size", "32",
+                   "--batch-size", "2", "-o", str(out), *flag])
+        assert rc == 0
+        outs[bool(flag)] = out.read_text()
+    assert outs[False] == outs[True]
+    assert len(outs[False].strip().splitlines()) == 6
+
+
 def test_predict_stream_matches_serial_predict(trained):
     """predict_stream (pipelined) is bitwise-identical to per-chunk
     predict() calls and yields chunks in input order."""
@@ -383,6 +411,41 @@ def test_predict_stream_propagates_decode_errors(trained):
     pred._load_images = loader
     with pytest.raises(OSError, match="corrupt image"):
         list(pred.predict_stream([1, 2, 3], batch_size=2))
+
+
+def test_predict_stream_yields_pending_chunk_before_decode_error(trained):
+    """A decode failure in chunk k+1 must not discard chunk k's already-
+    dispatched results: the serial loop it replaced delivered every row
+    that preceded the bad input, and the per-chunk-flushing CLI relies
+    on that (rows 0..k stay in the CSV)."""
+    from openset_imagenet_tpu.inference import OpenSetPredictor
+
+    root, cfg = trained
+    ckpt = cfg.output_directory / "entropic_best.pth"
+    pred = OpenSetPredictor(ckpt, n_classes=3, variant="tiny", image_size=32)
+
+    rng = np.random.default_rng(11)
+    images = rng.integers(0, 256, (4, 32, 32, 3), np.uint8)
+
+    def loader(chunk):
+        if isinstance(chunk, np.ndarray):    # predict() reference path
+            return chunk
+        if 4 in chunk:
+            raise OSError("corrupt image in chunk")
+        return images[np.asarray(chunk)]
+
+    pred._load_images = loader
+    got = []
+    with pytest.raises(OSError, match="corrupt image"):
+        for item in pred.predict_stream([0, 1, 2, 3, 4, 5], batch_size=2):
+            got.append(item)
+    # Chunks [0,1] and [2,3] decode fine; [4,5] raises.  Both good chunks
+    # must have been yielded, with values identical to predict().
+    assert [g[0] for g in got] == [[0, 1], [2, 3]]
+    for i, (chunk, cls, scores) in enumerate(got):
+        ref_cls, ref_scores = pred.predict(images[2 * i:2 * i + 2])
+        np.testing.assert_array_equal(cls, ref_cls)
+        np.testing.assert_array_equal(scores, ref_scores)
 
 
 def test_listing_roundtrip_of_predictions_csv(trained, tmp_path):

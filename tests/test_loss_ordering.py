@@ -20,14 +20,17 @@ tail is a real-ImageNet property, recorded as data-gated in BENCH.md
 round 4.  Asserting it here would lock a falsehood.
 """
 
+import importlib.util
 import json
-import sys
+import os
 
 import pytest
 
-sys.path.insert(0, "/root/repo")
-
-import bench_loss_ordering as study  # noqa: E402
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_spec = importlib.util.spec_from_file_location(
+    "bench_loss_ordering", os.path.join(_REPO, "bench_loss_ordering.py"))
+study = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(study)
 
 
 @pytest.mark.slow
