@@ -208,6 +208,47 @@ def multistep(batch=256, k=10, **kw):
          ms_per_step=round(1000.0 * batch / float(np.median(rates)), 2))
 
 
+def run_forward_cost(name, batch, **kw):
+    """Serving-path ceiling: forward timing + its own cost analysis.
+
+    Emits sustained GB/s (per-device cost-analysis bytes / measured step
+    time — cost_analysis() is per-device for SPMD programs, bench.py:201)
+    and effective TFLOP/s, so the inference path's boundedness is a
+    measurement like the train step's (BENCH.md round-4).
+    """
+    from openset_imagenet_tpu import train as engine
+
+    state, _, arrays = build(batch, **kw)
+    fwd = engine.make_forward_step()
+    images = arrays[0]
+    ca = fwd.lower(state, images).compile().cost_analysis()
+    if isinstance(ca, list):
+        ca = ca[0]
+    for _ in range(4):
+        logits, feats, scores = fwd(state, images)
+    float(jnp.sum(scores[0]))
+    rates = []
+    for _ in range(3):
+        t1 = time.perf_counter()
+        for _ in range(20):
+            logits, feats, scores = fwd(state, images)
+        s = float(jnp.sum(scores[0]))
+        if not np.isfinite(s):
+            raise RuntimeError(f"non-finite scores: {s}")
+        rates.append(batch * 20 / (time.perf_counter() - t1))
+    rate = float(np.median(rates))
+    step_s = batch / rate
+    emit(variant=name, batch=batch, imgs_per_sec=round(rate, 1),
+         ms_per_step=round(1000.0 * step_s, 2),
+         bytes_per_step_gb=round(float(ca.get("bytes accessed", 0)) / 1e9,
+                                 2),
+         sustained_gbps=round(float(ca.get("bytes accessed", 0))
+                              / step_s / 1e9, 0),
+         tflops_effective=round(float(ca.get("flops", 0)) / step_s / 1e12,
+                                1))
+    del state, arrays
+
+
 def cost_analysis(batch=256, **kw):
     """Compile-time FLOP/byte analysis of the step (no execution)."""
     from openset_imagenet_tpu import train as engine
@@ -248,6 +289,11 @@ VARIANTS = {
                                           remat=True),
     "remat_full_bn": lambda: run_variant("remat_full_bn", 256, ghost=0,
                                          remat=True),
+    "fwd_cost64": lambda: run_forward_cost("fwd_cost64", 64),
+    "fwd_cost128": lambda: run_forward_cost("fwd_cost128", 128),
+    "fwd_cost256": lambda: run_forward_cost("fwd_cost256", 256),
+    "fwd_cost512": lambda: run_forward_cost("fwd_cost512", 512),
+    "fwd_cost1024": lambda: run_forward_cost("fwd_cost1024", 1024),
     "cost": lambda: cost_analysis(),
     "cost_remat": lambda: cost_analysis(ghost=32, remat=True),
     "opt_vmem": lambda: run_variant_opts(
