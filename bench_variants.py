@@ -208,6 +208,34 @@ def multistep(batch=256, k=10, **kw):
          ms_per_step=round(1000.0 * batch / float(np.median(rates)), 2))
 
 
+def run_forward_opts(name, batch, compiler_options, **kw):
+    """Serving forward with explicit TPU compiler options (AOT-compiled)."""
+    from openset_imagenet_tpu import train as engine
+
+    t0 = time.time()
+    state, _, arrays = build(batch, **kw)
+    fwd = engine.make_forward_step()
+    images = arrays[0]
+    compiled = fwd.lower(state, images).compile(
+        compiler_options=compiler_options or {})
+    for _ in range(4):
+        logits, feats, scores = compiled(state, images)
+    float(jnp.sum(scores[0]))
+    rates = []
+    for _ in range(3):
+        t1 = time.perf_counter()
+        for _ in range(20):
+            logits, feats, scores = compiled(state, images)
+        s = float(jnp.sum(scores[0]))
+        if not np.isfinite(s):
+            raise RuntimeError(f"non-finite scores: {s}")
+        rates.append(batch * 20 / (time.perf_counter() - t1))
+    emit(variant=name, batch=batch,
+         imgs_per_sec=round(float(np.median(rates)), 1),
+         build_s=round(time.time() - t0, 1), opts=compiler_options)
+    del state, compiled, arrays
+
+
 def run_forward_cost(name, batch, **kw):
     """Serving-path ceiling: forward timing + its own cost analysis.
 
@@ -289,6 +317,15 @@ VARIANTS = {
                                           remat=True),
     "remat_full_bn": lambda: run_variant("remat_full_bn", 256, ghost=0,
                                          remat=True),
+    "fwd_opt_lhs": lambda: run_forward_opts(
+        "fwd_opt_lhs", 256,
+        {"xla_tpu_enable_latency_hiding_scheduler": "true"}),
+    "fwd_opt_vmem": lambda: run_forward_opts(
+        "fwd_opt_vmem", 256, {"xla_tpu_scoped_vmem_limit_kib": "65536"}),
+    "fwd_opt_both": lambda: run_forward_opts(
+        "fwd_opt_both", 256,
+        {"xla_tpu_enable_latency_hiding_scheduler": "true",
+         "xla_tpu_scoped_vmem_limit_kib": "65536"}),
     "fwd_cost64": lambda: run_forward_cost("fwd_cost64", 64),
     "fwd_cost128": lambda: run_forward_cost("fwd_cost128", 128),
     "fwd_cost256": lambda: run_forward_cost("fwd_cost256", 256),
