@@ -141,6 +141,45 @@ def calculate_oscr_jax(gt, scores, unk_label: int = -1,
     return ccr, fpr, taus
 
 
+def threshold_at_fpr(unknown_measures: np.ndarray,
+                     fpr_target: float) -> float:
+    """Smallest accept-threshold whose false-positive rate on unknowns is
+    ``<= fpr_target``.
+
+    Serving extension (no reference counterpart): operationalizes the
+    evaluation's CCR@FPR view (reference ``script/plot_all.py:352-353``)
+    for deployment — the returned threshold plugs directly into
+    :class:`~openset_imagenet_tpu.inference.OpenSetPredictor`, whose
+    convention is *accept iff measure >= threshold* (``inference.py``,
+    ``pred = -1 where measure < threshold``).  ``unknown_measures`` are
+    the rejection measures of known-to-be-unknown validation samples
+    (max-softmax over the known region, or ``||feature|| * max-softmax``
+    for objectosphere mode — whichever the predictor will use).
+
+    The smallest qualifying threshold (up to one float32 ulp) is
+    returned so known-class acceptance (CCR) is maximal at the chosen
+    operating point.  Ties are handled exactly: the count of unknowns
+    ``>= threshold`` is guaranteed ``<= floor(fpr_target * n)`` whether
+    the comparison happens in float32 (the predictor's measure dtype —
+    NumPy's value-based promotion can downcast the scalar) or float64.
+    """
+    u = np.sort(np.asarray(unknown_measures, dtype=np.float64))
+    n = u.size
+    if n == 0:
+        raise ValueError("no unknown samples to calibrate on")
+    if not 0.0 <= fpr_target <= 1.0:
+        raise ValueError(f"fpr_target must be in [0, 1], got {fpr_target}")
+    k = int(np.floor(fpr_target * n))   # unknowns allowed above threshold
+    if k >= n:
+        return 0.0                       # accept everything
+    # Any threshold <= u[n-k-1] accepts >= k+1 unknowns; just above it
+    # accepts exactly count(u > u[n-k-1]) <= k (ties fall below).  One
+    # float32 ulp above is strictly greater than the float64 value AND
+    # representable in float32, so the guarantee survives the
+    # predictor's float32 comparison.
+    return float(np.nextafter(np.float32(u[n - k - 1]), np.float32(np.inf)))
+
+
 def ccr_at_fpr(ccr: np.ndarray, fpr: np.ndarray, query: float,
                max_rel_error: float = 0.10):
     """CCR at the FPR value nearest to ``query``.

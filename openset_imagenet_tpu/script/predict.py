@@ -44,6 +44,18 @@ def get_args(argv=None):
                              "against")
     parser.add_argument("--threshold", "-t", type=float, default=0.0,
                         help="Rejection threshold; 0 disables rejection")
+    parser.add_argument("--threshold-at-fpr", type=float, default=None,
+                        metavar="FPR",
+                        help="Calibrate the rejection threshold so at "
+                             "most this fraction of the calibration "
+                             "set's unknowns is accepted (needs "
+                             "--calibrate); mutually exclusive with "
+                             "--threshold")
+    parser.add_argument("--calibrate", metavar="ARR_NPZ", default=None,
+                        help="evaluate_imagenet output arrays "
+                             "(<loss>_val_arr.npz: gt/features/scores) "
+                             "whose negative/unknown rows calibrate "
+                             "--threshold-at-fpr")
     parser.add_argument("--mode", choices=("softmax", "objectosphere"),
                         default="softmax",
                         help="Rejection rule: max-softmax or "
@@ -73,7 +85,46 @@ def get_args(argv=None):
     if args.gpu is not None and args.devices is not None:
         parser.error("--gpu pins one device; --devices shards over "
                      "several — pass at most one of them")
+    if args.threshold_at_fpr is not None:
+        if args.calibrate is None:
+            parser.error("--threshold-at-fpr needs --calibrate "
+                         "(an evaluate_imagenet arrays .npz)")
+        if args.threshold:
+            parser.error("--threshold and --threshold-at-fpr are "
+                         "mutually exclusive")
+    elif args.calibrate is not None:
+        parser.error("--calibrate does nothing without --threshold-at-fpr")
     return args
+
+
+def calibrate_threshold(arr_path, fpr_target: float, mode: str,
+                        has_background: bool) -> float:
+    """Derive the rejection threshold from evaluation arrays.
+
+    Computes the SAME rejection measure the predictor will apply
+    (``inference.py:_finish``: max softmax over the known-class region,
+    times the feature norm in objectosphere mode) on the calibration
+    set's negative/unknown rows (labels < 0), then picks the smallest
+    threshold whose unknown acceptance rate is <= ``fpr_target``
+    (:func:`~openset_imagenet_tpu.ops.oscr.threshold_at_fpr`).
+    """
+    import numpy as np
+
+    from ..ops.oscr import threshold_at_fpr
+
+    with np.load(arr_path) as arr:
+        gt = arr["gt"]
+        scores = arr["scores"]
+        features = arr["features"] if mode == "objectosphere" else None
+    unk = gt < 0
+    if not unk.any():
+        raise ValueError(f"{arr_path}: no negative/unknown rows (gt < 0) "
+                         "to calibrate on")
+    class_scores = scores[:, :-1] if has_background else scores
+    measure = np.max(class_scores, axis=-1)
+    if mode == "objectosphere":
+        measure = measure * np.linalg.norm(features, axis=-1)
+    return threshold_at_fpr(measure[unk], fpr_target)
 
 
 def collect_paths(specs, root: pathlib.Path):
@@ -134,6 +185,12 @@ def main(argv=None):
     from ..logger import configure_logger
 
     log = configure_logger()
+    if args.threshold_at_fpr is not None:
+        args.threshold = calibrate_threshold(
+            args.calibrate, args.threshold_at_fpr, args.mode,
+            args.background)
+        log.info(f"calibrated threshold {args.threshold:.6g} "
+                 f"(FPR <= {args.threshold_at_fpr} on {args.calibrate})")
     paths = collect_paths(args.images, pathlib.Path(args.imagenet_directory))
     if not paths:
         log.warning("no images found")

@@ -481,3 +481,64 @@ def test_listing_roundtrip_of_predictions_csv(trained, tmp_path):
                  "--image-size", "32", "-o", str(out2)]) == 0
     rows = list(csv.reader(out2.open()))
     assert [r[0] for r in rows[1:]] == [str(comma), str(plain)]
+
+
+def test_predict_cli_threshold_at_fpr_calibration(trained, tmp_path):
+    """--threshold-at-fpr derives the rejection threshold from an
+    evaluate_imagenet arrays npz (serving extension: the CCR@FPR view
+    operationalized for deployment)."""
+    from PIL import Image
+
+    from openset_imagenet_tpu.script.predict import get_args, main
+
+    root, cfg = trained
+    ckpt = cfg.output_directory / "entropic_best.pth"
+    rng = np.random.default_rng(17)
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    for i in range(4):
+        arr = rng.integers(0, 256, (32, 32, 3), np.uint8)
+        Image.fromarray(arr).save(img_dir / f"im{i}.png")
+
+    # Calibration arrays in the evaluate output format: 3 knowns + 4
+    # negatives whose max-softmax measures include 1.0 (>= any real
+    # image's measure).
+    gt = np.array([0, 1, 2, -1, -1, -1, -2])
+    scores = np.full((7, 3), 0.05, np.float32)
+    scores[np.arange(7), [0, 1, 2, 0, 1, 2, 0]] = \
+        [0.9, 0.9, 0.9, 1.0, 0.5, 0.4, 0.3]
+    features = rng.normal(size=(7, 8)).astype(np.float32)
+    arr_path = tmp_path / "entropic_val_arr.npz"
+    np.savez(arr_path, gt=gt, logits=scores, features=features,
+             scores=scores)
+
+    def run(fpr):
+        out = tmp_path / f"pred_{fpr}.csv"
+        rc = main([str(ckpt), "3", str(img_dir), "--model-variant", "tiny",
+                   "--image-size", "32", "--threshold-at-fpr", str(fpr),
+                   "--calibrate", str(arr_path), "-o", str(out)])
+        assert rc == 0
+        return [line.rsplit(",", 2)[1]
+                for line in out.read_text().strip().splitlines()[1:]]
+
+    # FPR 0: threshold just above the calibration max (1.0) -> every
+    # image rejected.  FPR 1: threshold 0 -> nothing rejected.
+    assert run(0.0) == ["-1"] * 4
+    assert all(p != "-1" for p in run(1.0))
+
+    # Arg contract: --threshold-at-fpr needs --calibrate; both threshold
+    # flags together are an error; --calibrate alone is an error.
+    for argv in (["c.pth", "3", "x", "--threshold-at-fpr", "0.1"],
+                 ["c.pth", "3", "x", "--threshold-at-fpr", "0.1",
+                  "--calibrate", str(arr_path), "--threshold", "0.5"],
+                 ["c.pth", "3", "x", "--calibrate", str(arr_path)]):
+        with pytest.raises(SystemExit):
+            get_args(argv)
+
+    # No unknown rows in the calibration arrays -> a clear error.
+    np.savez(tmp_path / "kn_only.npz", gt=gt[:3], logits=scores[:3],
+             features=features[:3], scores=scores[:3])
+    with pytest.raises(ValueError, match="no negative/unknown"):
+        main([str(ckpt), "3", str(img_dir), "--model-variant", "tiny",
+              "--image-size", "32", "--threshold-at-fpr", "0.1",
+              "--calibrate", str(tmp_path / "kn_only.npz")])

@@ -146,3 +146,52 @@ def test_zero_unknowns_fpr_defined_zero_and_table_dashes():
     np.testing.assert_array_equal(fpr, 0.0)
     for q in (1e-3, 1e-2, 0.1, 1.0):
         assert ccr_at_fpr(ccr, fpr, q) is None
+
+
+def test_threshold_at_fpr_basic_and_minimal():
+    from openset_imagenet_tpu.ops.oscr import threshold_at_fpr
+
+    u = np.array([0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 1.0])
+    # 20% FPR allows 2 unknowns above the threshold.
+    t = threshold_at_fpr(u, 0.2)
+    assert np.mean(u >= t) <= 0.2
+    # Minimality (float32 granularity): two float32 ulps below the
+    # threshold already violates the target (the boundary value 0.8 is
+    # not on the float32 grid, so one ulp of slack can remain).
+    two_below = np.nextafter(np.nextafter(np.float32(t),
+                                          np.float32(-np.inf)),
+                             np.float32(-np.inf))
+    assert np.mean(u >= two_below) > 0.2
+    assert 0.8 < t <= np.nextafter(np.float32(0.8), np.float32(np.inf))
+
+
+def test_threshold_at_fpr_edges_and_ties():
+    from openset_imagenet_tpu.ops.oscr import threshold_at_fpr
+
+    # FPR 0: threshold just above the max; nothing accepted.
+    u = np.array([0.3, 0.7, 0.7, 0.7])
+    t0 = threshold_at_fpr(u, 0.0)
+    assert np.mean(u >= t0) == 0.0
+    # Ties at the cut: count must stay <= floor(target * n), never round
+    # up through the tied block (25% of 4 allows exactly 1, but the three
+    # tied 0.7s would all pass any threshold <= 0.7).
+    t1 = threshold_at_fpr(u, 0.25)
+    assert np.sum(u >= t1) <= 1
+    # FPR 1: accept everything.
+    assert threshold_at_fpr(u, 1.0) == 0.0
+    with pytest.raises(ValueError):
+        threshold_at_fpr(np.array([]), 0.1)
+    with pytest.raises(ValueError):
+        threshold_at_fpr(u, 1.5)
+
+
+def test_threshold_at_fpr_feeds_predictor_convention():
+    """float32 measures compared against the float64 threshold keep the
+    guarantee (the predictor compares in float32-land)."""
+    from openset_imagenet_tpu.ops.oscr import threshold_at_fpr
+
+    rng = np.random.default_rng(3)
+    u = rng.uniform(0, 1, 501).astype(np.float32)
+    for target in (0.0, 0.01, 0.1, 0.5):
+        t = threshold_at_fpr(u, target)
+        assert np.mean(u.astype(np.float32) >= t) <= target
