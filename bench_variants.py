@@ -108,6 +108,25 @@ def run_variant(name, batch, **kw):
     del state, step, arrays
 
 
+def time_forward(fwd, state, images, batch, steps=20, warmup=4, repeats=3):
+    """Shared forward-timing protocol: warmup, scalar-fetch sync (the only
+    reliable sync through the tunnel — block_until_ready is a no-op),
+    finite check, median of ``repeats`` windows.  Returns imgs/sec."""
+    for _ in range(warmup):
+        logits, feats, scores = fwd(state, images)
+    float(jnp.sum(scores[0]))
+    rates = []
+    for _ in range(repeats):
+        t1 = time.perf_counter()
+        for _ in range(steps):
+            logits, feats, scores = fwd(state, images)
+        s = float(jnp.sum(scores[0]))
+        if not np.isfinite(s):
+            raise RuntimeError(f"non-finite scores: {s}")
+        rates.append(batch * steps / (time.perf_counter() - t1))
+    return float(np.median(rates))
+
+
 def run_forward(name, batch, **kw):
     """Inference path: eval-mode forward (the serving/extraction step)."""
     from openset_imagenet_tpu import train as engine
@@ -115,20 +134,7 @@ def run_forward(name, batch, **kw):
     t0 = time.time()
     state, _, arrays = build(batch, **kw)
     fwd = engine.make_forward_step()
-    images = arrays[0]
-    for _ in range(4):
-        logits, feats, scores = fwd(state, images)
-    float(jnp.sum(scores[0]))  # sync
-    rates = []
-    for _ in range(3):
-        t1 = time.perf_counter()
-        for _ in range(20):
-            logits, feats, scores = fwd(state, images)
-        s = float(jnp.sum(scores[0]))
-        if not np.isfinite(s):
-            raise RuntimeError(f"non-finite scores: {s}")
-        rates.append(batch * 20 / (time.perf_counter() - t1))
-    rate = float(np.median(rates))
+    rate = time_forward(fwd, state, arrays[0], batch)
     emit(variant=name, batch=batch, imgs_per_sec=round(rate, 1),
          ms_per_step=round(1000.0 * batch / rate, 2),
          build_s=round(time.time() - t0, 1))
@@ -218,20 +224,8 @@ def run_forward_opts(name, batch, compiler_options, **kw):
     images = arrays[0]
     compiled = fwd.lower(state, images).compile(
         compiler_options=compiler_options or {})
-    for _ in range(4):
-        logits, feats, scores = compiled(state, images)
-    float(jnp.sum(scores[0]))
-    rates = []
-    for _ in range(3):
-        t1 = time.perf_counter()
-        for _ in range(20):
-            logits, feats, scores = compiled(state, images)
-        s = float(jnp.sum(scores[0]))
-        if not np.isfinite(s):
-            raise RuntimeError(f"non-finite scores: {s}")
-        rates.append(batch * 20 / (time.perf_counter() - t1))
-    emit(variant=name, batch=batch,
-         imgs_per_sec=round(float(np.median(rates)), 1),
+    rate = time_forward(compiled, state, images, batch)
+    emit(variant=name, batch=batch, imgs_per_sec=round(rate, 1),
          build_s=round(time.time() - t0, 1), opts=compiler_options)
     del state, compiled, arrays
 
@@ -249,22 +243,16 @@ def run_forward_cost(name, batch, **kw):
     state, _, arrays = build(batch, **kw)
     fwd = engine.make_forward_step()
     images = arrays[0]
-    ca = fwd.lower(state, images).compile().cost_analysis()
-    if isinstance(ca, list):
-        ca = ca[0]
-    for _ in range(4):
-        logits, feats, scores = fwd(state, images)
-    float(jnp.sum(scores[0]))
-    rates = []
-    for _ in range(3):
-        t1 = time.perf_counter()
-        for _ in range(20):
-            logits, feats, scores = fwd(state, images)
-        s = float(jnp.sum(scores[0]))
-        if not np.isfinite(s):
-            raise RuntimeError(f"non-finite scores: {s}")
-        rates.append(batch * 20 / (time.perf_counter() - t1))
-    rate = float(np.median(rates))
+    # Guarded like bench.py:141-148 — cost_analysis() can fail on some
+    # toolchains, and the throughput measurement must still land.
+    ca = {}
+    try:
+        ca = fwd.lower(state, images).compile().cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+    except Exception:
+        pass
+    rate = time_forward(fwd, state, images, batch)
     step_s = batch / rate
     emit(variant=name, batch=batch, imgs_per_sec=round(rate, 1),
          ms_per_step=round(1000.0 * step_s, 2),

@@ -542,3 +542,46 @@ def test_predict_cli_threshold_at_fpr_calibration(trained, tmp_path):
         main([str(ckpt), "3", str(img_dir), "--model-variant", "tiny",
               "--image-size", "32", "--threshold-at-fpr", "0.1",
               "--calibrate", str(tmp_path / "kn_only.npz")])
+
+
+def test_calibrate_threshold_mode_and_background_branches(tmp_path):
+    """calibrate_threshold computes the PREDICTOR'S measure: the garbage
+    background column is excluded from the max, and objectosphere mode
+    multiplies by the feature norm — each branch locked by a
+    hand-computed threshold."""
+    from openset_imagenet_tpu.script.predict import calibrate_threshold
+
+    gt = np.array([0, 1, -1, -1, -1, -1])
+    # K=2 known cols + 1 background col.  For the unknowns, the bg column
+    # holds the global max — only the :-1 slice gives known-region
+    # measures [0.6, 0.5, 0.4, 0.3].
+    scores = np.array([
+        [0.8, 0.1, 0.1],
+        [0.1, 0.8, 0.1],
+        [0.6, 0.1, 0.9],
+        [0.5, 0.2, 0.9],
+        [0.1, 0.4, 0.9],
+        [0.3, 0.2, 0.9],
+    ], np.float32)
+    features = np.zeros((6, 4), np.float32)
+    features[:, 0] = [1.0, 1.0, 1.0, 2.0, 1.0, 1.0]  # norms
+    path = tmp_path / "arr.npz"
+    np.savez(path, gt=gt, logits=scores, features=features, scores=scores)
+
+    # softmax + background: unknown measures [0.6, 0.5, 0.4, 0.3];
+    # FPR 0.25 allows 1 -> threshold just above 0.5.
+    t = calibrate_threshold(path, 0.25, "softmax", True)
+    assert 0.5 < t <= np.nextafter(np.float32(0.5), np.float32(np.inf))
+    # WITHOUT the background slice the unknown measures were all 0.9 and
+    # the threshold would sit above 0.9 — locked apart.
+    assert t < 0.9
+
+    # objectosphere + background: measures scale by the feature norm ->
+    # [0.6, 1.0, 0.4, 0.3]; FPR 0.25 allows 1 -> just above 0.6.
+    t_os = calibrate_threshold(path, 0.25, "objectosphere", True)
+    assert 0.6 < t_os <= np.nextafter(np.float32(0.6), np.float32(np.inf))
+
+    # softmax WITHOUT background (entropic/softmax arrays): full-row max
+    # [0.9, 0.9, 0.9, 0.9]; FPR 0 -> above 0.9.
+    t_nb = calibrate_threshold(path, 0.0, "softmax", False)
+    assert t_nb > 0.9
