@@ -38,3 +38,7 @@ from . import dataset, logger  # noqa: F401
 from . import util  # noqa: F401
 from . import checkpoint, events, pipeline, transforms, wordnet  # noqa: F401
 from . import metrics, losses  # noqa: F401  (reference-style aliases)
+# The reference's bare `import openset_imagenet` exposes `.train`
+# (reference __init__.py:5) — keep that contract so `osi.train.worker(cfg)`
+# works without an explicit submodule import.
+from . import train  # noqa: F401
