@@ -180,11 +180,35 @@ def conf_and_ccr_table(args, scores, epochs):
                 table.write("\\midrule\n")
 
 
+def plot_OSCR(args, scores):
+    """Reference-name adapter (reference plot_all.py:151): the figure
+    itself lives in :func:`openset_imagenet_tpu.plots.oscr_figure`."""
+    from ..plots import oscr_figure
+    return oscr_figure(scores, args.protocols, args.loss_functions,
+                       args.labels,
+                       scale="linear" if args.linear else "semilog",
+                       sort_by_loss=args.sort_by_loss)
+
+
+def plot_confidences(args):
+    """Reference-name adapter (reference plot_all.py:193): loads the
+    per-epoch confidence curves back from the training scalar records
+    and renders :func:`openset_imagenet_tpu.plots.confidence_figure`."""
+    from ..plots import confidence_figure
+    return confidence_figure(load_confidence_curves(args), args.protocols,
+                             args.loss_functions, args.labels)
+
+
+def plot_softmax(args, scores):
+    """Reference-name adapter (reference plot_all.py:277)."""
+    from ..plots import softmax_figure
+    return softmax_figure(scores, args.protocols, args.loss_functions,
+                          args.labels)
+
+
 def main(argv=None):
     args = get_args(argv)
     from matplotlib.backends.backend_pdf import PdfPages
-
-    from ..plots import confidence_figure, oscr_figure, softmax_figure
 
     print("Extracting and loading scores")
     scores, epoch = load_scores(args)
@@ -193,24 +217,18 @@ def main(argv=None):
     pdf = PdfPages(args.plots)
     try:
         print("Plotting OSCR curves")
-        fig = oscr_figure(scores, args.protocols, args.loss_functions,
-                          args.labels,
-                          scale="linear" if args.linear else "semilog",
-                          sort_by_loss=args.sort_by_loss)
-        pdf.savefig(fig, bbox_inches="tight", pad_inches=0)
+        pdf.savefig(plot_OSCR(args, scores), bbox_inches="tight",
+                    pad_inches=0)
 
         if not args.linear and not args.use_best and not args.sort_by_loss:
             print("Plotting confidence plots")
-            curves = load_confidence_curves(args)
-            fig = confidence_figure(curves, args.protocols,
-                                    args.loss_functions, args.labels)
-            pdf.savefig(fig, bbox_inches="tight", pad_inches=0)
+            pdf.savefig(plot_confidences(args), bbox_inches="tight",
+                        pad_inches=0)
 
         if not args.linear and not args.sort_by_loss:
             print("Plotting softmax histograms")
-            fig = softmax_figure(scores, args.protocols, args.loss_functions,
-                                 args.labels)
-            pdf.savefig(fig, bbox_inches="tight", pad_inches=0)
+            pdf.savefig(plot_softmax(args, scores), bbox_inches="tight",
+                        pad_inches=0)
     finally:
         pdf.close()
 

@@ -360,6 +360,12 @@ def train_epoch(state: TrainState, pipeline: InputPipeline, epoch: int,
     return state
 
 
+# Reference-name alias (reference train.py:104 names the per-epoch pass
+# `train`); the TPU-native signature differs — jitted step + pipeline
+# instead of (model, loader, optimizer, device, loss_fn).
+train = train_epoch
+
+
 def validate(state: TrainState, pipeline: InputPipeline, epoch: int,
              eval_step: Callable, trackers) -> None:
     """Full validation pass; updates ``trackers`` j / conf_kn / conf_unk.
