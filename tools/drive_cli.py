@@ -263,13 +263,12 @@ output_directory: {out}
     n_pred = len(KN_COLORS) + (1 if loss == "garbage" else 0)
     dog_dir = root / "val" / leaves[DOG][0]
     pred_csv = root / "predictions.csv"
-    pred_args = ["openset_imagenet_tpu.script.predict",
+    pred_base = ["openset_imagenet_tpu.script.predict",
                  out / f"{loss}_curr.pth", str(n_pred), dog_dir,
-                 "--image-size", "64", "--batch-size", "8",
-                 "-o", pred_csv]
+                 "--image-size", "64", "--batch-size", "8"]
     if loss == "garbage":
-        pred_args.append("--background")
-    run("predict", pred_args, env, root)
+        pred_base.append("--background")
+    run("predict", pred_base + ["-o", pred_csv], env, root)
     lines = pred_csv.read_text().strip().splitlines()
     n_imgs = len(list(dog_dir.glob("*.JPEG")))
     assert lines[0] == "path,prediction,score" and len(lines) == 1 + n_imgs
@@ -278,6 +277,19 @@ output_directory: {out}
     # Same-color images should (almost) all agree on one class.
     top = max(preds.count(p) for p in set(preds))
     assert top >= len(preds) - 1, preds
+
+    # 4b. FPR-targeted threshold calibration against the evaluation
+    # arrays (serving extension): FPR 0.5 sets the threshold above the
+    # median val-negative measure — on this easy task known dogs score
+    # far above gray negatives, so at least some predictions survive.
+    calib_csv = root / "predictions_calibrated.csv"
+    run("predict(calibrated)", pred_base
+        + ["-o", calib_csv, "--threshold-at-fpr", "0.5",
+           "--calibrate", out / f"{loss}_val_arr_curr.npz"], env, root)
+    clines = calib_csv.read_text().strip().splitlines()
+    assert len(clines) == 1 + n_imgs
+    cpreds = [int(l.rsplit(",", 2)[1]) for l in clines[1:]]
+    assert any(p >= 0 for p in cpreds), cpreds  # knowns still accepted
 
     # 5. plot
     run("plot", ["openset_imagenet_tpu.script.plot_all",
