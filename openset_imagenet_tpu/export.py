@@ -1,0 +1,129 @@
+"""Deployment export: serialize the serving forward to a portable artifact.
+
+Beyond the reference's inventory — the reference deploys nothing (its
+pipeline ends at offline score extraction, reference
+``script/evaluate.py:82-149``).  This module finishes the serving story
+for production: :func:`export_serving` lowers the trained two-head
+forward to a **self-contained StableHLO artifact** via ``jax.export``
+with
+
+* the checkpoint's weights baked in as constants (no Python model code,
+  no checkpoint file, no flax needed at the deployment site),
+* a **symbolic batch dimension**, so ONE artifact serves every batch
+  size without recompiling Python-side (the consumer's runtime still
+  specializes per shape, exactly like our bucketed
+  :class:`~openset_imagenet_tpu.inference.OpenSetPredictor`),
+* **multi-platform lowering** (``cpu`` + ``tpu`` by default): the same
+  file validates on a CPU host in CI and deploys on TPU serving hosts.
+
+The artifact computes exactly what the live predictor's jitted forward
+computes (``train.make_forward_step``): uint8 ``[N, H, W, 3]`` images →
+``(logits, features, scores)`` with scores = float32 softmax — the
+inputs every open-set rejection rule downstream consumes
+(reference ``metrics.py:45-62``).
+
+:func:`load_serving` deserializes and returns a callable for the local
+backend; any StableHLO-speaking runtime (jax, PJRT C API, IREE, ...)
+can consume the file without this package.
+"""
+
+from __future__ import annotations
+
+import pathlib
+
+import numpy as np
+
+ARTIFACT_SUFFIX = ".stablehlo"
+
+
+def build_serving_fn(checkpoint, n_classes: int, variant: str = "resnet50",
+                     image_size: int = 224):
+    """Load a checkpoint and close the serving forward over its weights.
+
+    Same model construction + weight loading as
+    :class:`~openset_imagenet_tpu.inference.OpenSetPredictor` (native
+    msgpack or reference-torch checkpoints both load), but returns a
+    pure ``images_uint8 -> (logits, features, scores)`` function with
+    the weights captured — the exportable unit.
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from . import train as engine
+    from .checkpoint import load_weights_any_format
+    from .config import NameSpace
+
+    cfg = NameSpace({"model": {"variant": variant}, "seed": 0, "data": {}})
+    model = engine.build_model(cfg, n_classes)
+    state = engine.create_state(model, jax.random.PRNGKey(0),
+                                optax.identity(), image_size=image_size)
+    state, _, _ = load_weights_any_format(checkpoint, state, model,
+                                          image_size=image_size)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    apply_fn = state.apply_fn
+
+    def forward(images):
+        imgs = images.astype(jnp.float32) * (1.0 / 255.0)
+        logits, features = apply_fn(variables, imgs, train=False)
+        scores = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        return logits, features, scores
+
+    return forward
+
+
+def export_serving(checkpoint, n_classes: int, variant: str = "resnet50",
+                   image_size: int = 224, batch_size=None,
+                   platforms=("cpu", "tpu")):
+    """Export the serving forward; returns a ``jax.export.Exported``.
+
+    Args:
+        checkpoint: trained ``.pth`` (native or reference-torch format).
+        n_classes: logits dimensionality the model was trained with
+            (garbage models include their background class).
+        variant / image_size: model geometry, as trained.
+        batch_size: fix the batch dimension to this int, or ``None``
+            (default) for a symbolic batch — one artifact, any N.
+        platforms: lowering targets; the artifact refuses to run
+            anywhere else.  Lowering is ahead-of-time and
+            device-independent: exporting for ``tpu`` needs no TPU.
+    """
+    import jax
+    from jax import export as jexport
+
+    forward = build_serving_fn(checkpoint, n_classes, variant=variant,
+                               image_size=image_size)
+    if batch_size is None:
+        batch, = jexport.symbolic_shape("batch")
+    else:
+        batch = int(batch_size)
+    spec = jax.ShapeDtypeStruct((batch, image_size, image_size, 3),
+                                np.uint8)
+    return jexport.export(jax.jit(forward),
+                          platforms=tuple(platforms))(spec)
+
+
+def save_exported(exported, path) -> pathlib.Path:
+    """Serialize an ``Exported`` to ``path`` (flatbuffer bytes)."""
+    path = pathlib.Path(path)
+    path.write_bytes(exported.serialize())
+    return path
+
+
+def load_serving(path):
+    """Deserialize an exported artifact into a callable.
+
+    Returns ``fn(images_uint8) -> (logits, features, scores)`` running
+    on the local backend (which must be one of the artifact's export
+    platforms).  The call is jittable and shape-specializes per batch
+    size like any jax program.
+    """
+    from jax import export as jexport
+
+    exported = jexport.deserialize(pathlib.Path(path).read_bytes())
+
+    def forward(images):
+        return exported.call(images)
+
+    forward.exported = exported
+    return forward

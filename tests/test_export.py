@@ -1,0 +1,103 @@
+"""Deployment export: StableHLO artifact round-trip + CLI.
+
+The artifact must reproduce the live serving forward (weights baked in),
+serve multiple batch sizes from one file (symbolic batch), and refuse
+shapes it was not exported for when the batch is fixed.
+"""
+
+import numpy as np
+import pytest
+
+from openset_imagenet_tpu import train as engine
+from tests.test_engine import tiny_cfg, write_protocol_csvs
+
+# bf16 model compute: two independently-compiled programs (the exported
+# symbolic-batch module vs the live jit) agree only to bf16 precision.
+TOL = dict(atol=2e-3, rtol=2e-2)
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    root = tmp_path_factory.mktemp("export")
+    write_protocol_csvs(root)
+    cfg = tiny_cfg(root, "entropic", epochs=1)
+    engine.worker(cfg)
+    return cfg.output_directory / "entropic_best.pth"
+
+
+def test_symbolic_export_roundtrip(trained, tmp_path):
+    from openset_imagenet_tpu.export import (build_serving_fn,
+                                             export_serving, load_serving,
+                                             save_exported)
+
+    exported = export_serving(trained, 3, variant="tiny", image_size=32)
+    path = save_exported(exported, tmp_path / "m.stablehlo")
+    assert path.stat().st_size > 0
+
+    fn = load_serving(path)
+    live = build_serving_fn(trained, 3, variant="tiny", image_size=32)
+    rng = np.random.default_rng(0)
+    # One artifact, two different batch sizes.
+    for n in (2, 5):
+        imgs = rng.integers(0, 256, (n, 32, 32, 3), dtype=np.uint8)
+        got = fn(imgs)
+        want = live(imgs)
+        names = ("logits", "features", "scores")
+        for g, w, name in zip(got, want, names, strict=True):
+            assert np.asarray(g).shape == (n, 3)
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                       err_msg=name, **TOL)
+
+
+def test_exported_scores_match_predictor(trained, tmp_path):
+    """The artifact's scores drive the same decisions as the predictor."""
+    from openset_imagenet_tpu.export import (export_serving, load_serving,
+                                             save_exported)
+    from openset_imagenet_tpu.inference import OpenSetPredictor
+
+    fn = load_serving(save_exported(
+        export_serving(trained, 3, variant="tiny", image_size=32),
+        tmp_path / "m.stablehlo"))
+    pred = OpenSetPredictor(trained, n_classes=3, variant="tiny",
+                            image_size=32)
+    imgs = np.random.default_rng(1).integers(
+        0, 256, (4, 32, 32, 3), dtype=np.uint8)
+    _, _, scores = fn(imgs)
+    classes, conf = pred.predict(imgs)
+    np.testing.assert_array_equal(np.argmax(np.asarray(scores), -1),
+                                  classes)
+    np.testing.assert_allclose(np.max(np.asarray(scores), -1), conf, **TOL)
+
+
+def test_fixed_batch_export_rejects_other_shapes(trained, tmp_path):
+    from openset_imagenet_tpu.export import (export_serving, load_serving,
+                                             save_exported)
+
+    fn = load_serving(save_exported(
+        export_serving(trained, 3, variant="tiny", image_size=32,
+                       batch_size=4),
+        tmp_path / "m4.stablehlo"))
+    rng = np.random.default_rng(2)
+    out = fn(rng.integers(0, 256, (4, 32, 32, 3), dtype=np.uint8))
+    assert np.asarray(out[2]).shape == (4, 3)
+    with pytest.raises(Exception):
+        fn(rng.integers(0, 256, (3, 32, 32, 3), dtype=np.uint8))
+
+
+def test_export_cli_writes_and_validates(trained, tmp_path, monkeypatch):
+    from openset_imagenet_tpu.script import export as cli
+
+    out = tmp_path / "artifact.stablehlo"
+    written = cli.main([str(trained), "3", "--model-variant", "tiny",
+                        "--image-size", "32", "-o", str(out),
+                        "--platforms", "cpu", "--validate"])
+    assert written == str(out)
+    assert out.stat().st_size > 0
+
+    # Default output naming: checkpoint stem + .stablehlo next to it.
+    monkeypatch.chdir(tmp_path)
+    import shutil
+    shutil.copy(trained, tmp_path / "ck.pth")
+    written = cli.main(["ck.pth", "3", "--model-variant", "tiny",
+                        "--image-size", "32", "--platforms", "cpu"])
+    assert written.endswith("ck.stablehlo")
