@@ -27,7 +27,13 @@ class OpenSetPredictor:
                  mode: str = "softmax", has_background: bool = False,
                  mesh=None):
         """Args:
-            checkpoint: path to a ``.pth`` checkpoint from training.
+            checkpoint: path to a ``.pth`` checkpoint from training, or
+                an exported ``.stablehlo`` serving artifact
+                (``export_imagenet.py``) — weights and model geometry
+                are baked into the artifact, so ``n_classes``/``variant``
+                are validated against it rather than used to build a
+                model, and ``mesh`` is unsupported (the artifact's
+                program has no sharding annotations).
             n_classes: logits dimensionality the model was trained with
                 (garbage models include their background class).
             variant: ResNet variant name.
@@ -45,6 +51,55 @@ class OpenSetPredictor:
                 collectives in the forward, so throughput scales linearly
                 with chips).
         """
+        from .export import ARTIFACT_SUFFIX
+
+        if str(checkpoint).endswith(ARTIFACT_SUFFIX):
+            self._init_from_artifact(checkpoint, n_classes, image_size,
+                                     mesh)
+        else:
+            self._init_from_checkpoint(checkpoint, n_classes, variant,
+                                       image_size, mesh)
+        self.image_size = image_size
+        self.threshold = float(threshold)
+        if mode not in ("softmax", "objectosphere"):
+            raise ValueError(f"unknown rejection mode {mode!r}; choose "
+                             "'softmax' or 'objectosphere'")
+        self.mode = mode
+        self.has_background = has_background
+        self._reader = None
+
+    def _init_from_artifact(self, path, n_classes: int, image_size: int,
+                            mesh) -> None:
+        """Serve an exported StableHLO artifact (weights baked in).
+
+        The program is fixed at export time, so the declared geometry is
+        *validated* against the artifact's shapes instead of building a
+        model — a wrong ``n_classes``/``image_size`` fails here with a
+        clear message, not at the first forward.
+        """
+        from .export import load_serving
+
+        if mesh is not None:
+            raise ValueError(
+                "mesh serving needs a checkpoint, not an exported "
+                "artifact: the artifact's program carries no sharding "
+                "annotations (re-export per deployment, or serve the "
+                ".pth with mesh=...)")
+        fn = load_serving(path)
+        in_shape = fn.exported.in_avals[0].shape       # (b, H, W, 3)
+        out_dim = fn.exported.out_avals[0].shape[-1]   # logits dim
+        if int(in_shape[1]) != image_size:
+            raise ValueError(f"{path}: exported for image_size="
+                             f"{in_shape[1]}, got image_size={image_size}")
+        if int(out_dim) != n_classes:
+            raise ValueError(f"{path}: exported with n_classes={out_dim}, "
+                             f"got n_classes={n_classes}")
+        self._state = None
+        self._bucket_unit = 1
+        self._forward = lambda state, images: fn(images)
+
+    def _init_from_checkpoint(self, checkpoint, n_classes: int,
+                              variant: str, image_size: int, mesh) -> None:
         import optax
 
         from . import train as engine
@@ -71,14 +126,6 @@ class OpenSetPredictor:
             self._state = jax.device_put(state)
             self._bucket_unit = 1
         self._forward = engine.make_forward_step(mesh)
-        self.image_size = image_size
-        self.threshold = float(threshold)
-        if mode not in ("softmax", "objectosphere"):
-            raise ValueError(f"unknown rejection mode {mode!r}; choose "
-                             "'softmax' or 'objectosphere'")
-        self.mode = mode
-        self.has_background = has_background
-        self._reader = None
 
     # -- image loading -------------------------------------------------------
     def _load_images(self, inputs) -> np.ndarray:

@@ -30,7 +30,9 @@ def get_args(argv=None):
         description="Classify images with a trained open-set model")
     parser.add_argument("checkpoint",
                         help="Trained checkpoint (.pth; native or "
-                             "reference-torch format)")
+                             "reference-torch format), or an exported "
+                             ".stablehlo serving artifact "
+                             "(export_imagenet.py)")
     parser.add_argument("n_classes", type=int,
                         help="Logit dimensionality the model was trained "
                              "with (garbage models: known classes + 1 "

@@ -84,6 +84,65 @@ def test_fixed_batch_export_rejects_other_shapes(trained, tmp_path):
         fn(rng.integers(0, 256, (3, 32, 32, 3), dtype=np.uint8))
 
 
+def test_predictor_serves_artifact(trained, tmp_path):
+    """OpenSetPredictor accepts a .stablehlo artifact: same decisions as
+    the checkpoint-backed predictor, geometry validated up front, mesh
+    refused."""
+    from openset_imagenet_tpu.export import export_serving, save_exported
+    from openset_imagenet_tpu.inference import OpenSetPredictor
+
+    art = save_exported(
+        export_serving(trained, 3, variant="tiny", image_size=32),
+        tmp_path / "m.stablehlo")
+    imgs = np.random.default_rng(3).integers(
+        0, 256, (6, 32, 32, 3), dtype=np.uint8)
+    from_art = OpenSetPredictor(art, n_classes=3, image_size=32)
+    from_ckpt = OpenSetPredictor(trained, n_classes=3, variant="tiny",
+                                 image_size=32)
+    cls_a, conf_a = from_art.predict(imgs)
+    cls_c, conf_c = from_ckpt.predict(imgs)
+    np.testing.assert_array_equal(cls_a, cls_c)
+    np.testing.assert_allclose(conf_a, conf_c, **TOL)
+
+    with pytest.raises(ValueError, match="n_classes"):
+        OpenSetPredictor(art, n_classes=7, image_size=32)
+    with pytest.raises(ValueError, match="image_size"):
+        OpenSetPredictor(art, n_classes=3, image_size=64)
+    import jax
+    from openset_imagenet_tpu.parallel.mesh import make_mesh
+    with pytest.raises(ValueError, match="sharding"):
+        OpenSetPredictor(art, n_classes=3, image_size=32,
+                         mesh=make_mesh(num_devices=len(jax.devices())))
+
+
+def test_predict_cli_serves_artifact(trained, tmp_path):
+    """The deployment loop closes: export once, serve the artifact with
+    the same predict_imagenet CLI (rejection machinery intact)."""
+    import csv
+
+    from PIL import Image
+
+    from openset_imagenet_tpu.export import export_serving, save_exported
+    from openset_imagenet_tpu.script import predict as cli
+
+    art = save_exported(
+        export_serving(trained, 3, variant="tiny", image_size=32),
+        tmp_path / "m.stablehlo")
+    rng = np.random.default_rng(4)
+    for i in range(3):
+        Image.fromarray(rng.integers(0, 256, (32, 32, 3),
+                                     dtype=np.uint8)).save(
+            tmp_path / f"img{i}.jpg", quality=95)
+    out = tmp_path / "pred.csv"
+    cli.main([str(art), "3", str(tmp_path), "--image-size", "32",
+              "-o", str(out)])
+    with out.open(newline="") as f:
+        rows = list(csv.reader(f))
+    assert rows[0] == ["path", "prediction", "score"]
+    assert len(rows) == 4
+    assert all(int(r[1]) in (0, 1, 2) for r in rows[1:])
+
+
 def test_export_cli_writes_and_validates(trained, tmp_path, monkeypatch):
     from openset_imagenet_tpu.script import export as cli
 
