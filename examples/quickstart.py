@@ -2,8 +2,8 @@
 
 Builds a tiny JPEG tree + WordNet metadata, then drives the complete
 workflow — protocol generation, training (one loss), score extraction,
-report plotting, and open-set serving — through the same code paths the
-real CLIs use.  Finishes in a few minutes on CPU:
+report plotting, open-set serving, and deployment export — through the
+same code paths the real CLIs use.  Finishes in a few minutes on CPU:
 
     OSI_JAX_PLATFORM=cpu python examples/quickstart.py /tmp/osi_demo
 
@@ -122,6 +122,21 @@ def main(workdir=None):
     classes, scores = predictor.predict([str(p) for p in some_val])
     print("== served:", list(zip(classes.tolist(),
                                  np.round(scores, 3).tolist())))
+
+    # 6. Deploy: self-contained StableHLO artifact (weights baked in,
+    # symbolic batch) — serves without the checkpoint or model code.
+    from openset_imagenet_tpu.export import (export_serving, load_serving,
+                                             save_exported)
+    artifact = save_exported(
+        export_serving(cfg.output_directory / "entropic_best.pth",
+                       n_known, variant="tiny", image_size=64),
+        workdir / "entropic.stablehlo")
+    art_classes = np.argmax(np.asarray(
+        load_serving(artifact)(predictor._load_images(
+            [str(p) for p in some_val]))[2]), -1)
+    print(f"== exported {artifact.name} "
+          f"({artifact.stat().st_size / 2**20:.1f} MiB); "
+          f"artifact predictions: {art_classes.tolist()}")
     print("done.")
 
 
