@@ -131,9 +131,13 @@ def main(workdir=None):
         export_serving(cfg.output_directory / "entropic_best.pth",
                        n_known, variant="tiny", image_size=64),
         workdir / "entropic.stablehlo")
+    # Same geometry the predictor's reader applies (Resize(256) ->
+    # CenterCrop(crop) for crops <= 256), via the public transform API.
+    from openset_imagenet_tpu.transforms import decode_image, eval_transform
+    pixels = np.stack([eval_transform(decode_image(str(p)), crop=64)
+                       for p in some_val])
     art_classes = np.argmax(np.asarray(
-        load_serving(artifact)(predictor._load_images(
-            [str(p) for p in some_val]))[2]), -1)
+        load_serving(artifact)(pixels)[2]), -1)
     print(f"== exported {artifact.name} "
           f"({artifact.stat().st_size / 2**20:.1f} MiB); "
           f"artifact predictions: {art_classes.tolist()}")

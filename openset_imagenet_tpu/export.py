@@ -88,11 +88,23 @@ def export_serving(checkpoint, n_classes: int, variant: str = "resnet50",
             anywhere else.  Lowering is ahead-of-time and
             device-independent: exporting for ``tpu`` needs no TPU.
     """
+    forward = build_serving_fn(checkpoint, n_classes, variant=variant,
+                               image_size=image_size)
+    return export_forward(forward, image_size=image_size,
+                          batch_size=batch_size, platforms=platforms)
+
+
+def export_forward(forward, image_size: int = 224, batch_size=None,
+                   platforms=("cpu", "tpu")):
+    """Export an already-built serving forward (see :func:`export_serving`).
+
+    Split out so callers that still need the live ``forward`` afterwards
+    (e.g. the CLI's ``--validate``) build the model and read the
+    checkpoint exactly once.
+    """
     import jax
     from jax import export as jexport
 
-    forward = build_serving_fn(checkpoint, n_classes, variant=variant,
-                               image_size=image_size)
     if batch_size is None:
         batch, = jexport.symbolic_shape("batch")
     else:
@@ -104,10 +116,42 @@ def export_serving(checkpoint, n_classes: int, variant: str = "resnet50",
 
 
 def save_exported(exported, path) -> pathlib.Path:
-    """Serialize an ``Exported`` to ``path`` (flatbuffer bytes)."""
+    """Serialize an ``Exported`` to ``path`` (flatbuffer bytes).
+
+    Atomic (temp file + rename, like ``checkpoint.py``): an interrupted
+    export never leaves a truncated artifact where serving picks it up.
+    """
+    import os
+
     path = pathlib.Path(path)
-    path.write_bytes(exported.serialize())
+    tmp = path.with_name(path.name + ".tmp")
+    tmp.write_bytes(exported.serialize())
+    os.replace(tmp, path)
     return path
+
+
+def assert_close_bf16(got, want, name: str = "") -> None:
+    """Assert two forward outputs agree to bf16-compilation precision.
+
+    The exported module and the live jit are independently compiled
+    programs over bf16 model compute: their results differ by O(bf16
+    eps) *relative to the output's scale*, and softmax amplifies a
+    0.5%-relative logit wiggle into ~1% absolute score shifts.  One
+    scale-aware bound — max |got - want| <= 1% of (1 + max |want|) —
+    holds for logits, features, and scores alike; used by the CLI's
+    ``--validate``, the drive, and the tests (single source of truth).
+    """
+    got = np.asarray(got)
+    want = np.asarray(want)
+    if got.shape != want.shape:
+        raise AssertionError(f"{name}: shape mismatch "
+                             f"{got.shape} != {want.shape}")
+    bound = 1e-2 * (1.0 + np.abs(want).max(initial=0.0))
+    diff = float(np.abs(got - want).max(initial=0.0))
+    if not diff <= bound:    # NaN-safe: NaNs fail
+        raise AssertionError(
+            f"{name}: exported/live forward disagree beyond bf16 "
+            f"tolerance (max abs diff {diff:.4g} > bound {bound:.4g})")
 
 
 def load_serving(path):

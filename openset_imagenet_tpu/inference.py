@@ -30,10 +30,12 @@ class OpenSetPredictor:
             checkpoint: path to a ``.pth`` checkpoint from training, or
                 an exported ``.stablehlo`` serving artifact
                 (``export_imagenet.py``) — weights and model geometry
-                are baked into the artifact, so ``n_classes``/``variant``
-                are validated against it rather than used to build a
-                model, and ``mesh`` is unsupported (the artifact's
-                program has no sharding annotations).
+                are baked into the artifact, so ``n_classes`` and
+                ``image_size`` are validated against its shapes rather
+                than used to build a model (``variant`` is ignored: the
+                artifact has no notion of it), and ``mesh`` is
+                unsupported (the artifact's program has no sharding
+                annotations).
             n_classes: logits dimensionality the model was trained with
                 (garbage models include their background class).
             variant: ResNet variant name.
@@ -53,6 +55,7 @@ class OpenSetPredictor:
         """
         from .export import ARTIFACT_SUFFIX
 
+        self._fixed_batch = None
         if str(checkpoint).endswith(ARTIFACT_SUFFIX):
             self._init_from_artifact(checkpoint, n_classes, image_size,
                                      mesh)
@@ -94,6 +97,13 @@ class OpenSetPredictor:
         if int(out_dim) != n_classes:
             raise ValueError(f"{path}: exported with n_classes={out_dim}, "
                              f"got n_classes={n_classes}")
+        # Fixed-batch artifacts (export --batch-size B) accept exactly
+        # one shape: every request pads to B instead of the power-of-two
+        # ladder, and requests larger than B fail up front with a clear
+        # message rather than deep inside the exported program.
+        batch_dim = in_shape[0]
+        self._fixed_batch = int(batch_dim) if isinstance(batch_dim, int) \
+            else None
         self._state = None
         self._bucket_unit = 1
         self._forward = lambda state, images: fn(images)
@@ -158,6 +168,14 @@ class OpenSetPredictor:
         ``predict`` and ``warmup`` — their bucket ladders must never
         drift apart.
         """
+        if self._fixed_batch is not None:
+            if n > self._fixed_batch:
+                raise ValueError(
+                    f"request of {n} images exceeds the artifact's fixed "
+                    f"batch size {self._fixed_batch}; chunk requests (e.g. "
+                    f"predict_stream(batch_size<={self._fixed_batch})) or "
+                    "re-export without --batch-size for a symbolic batch")
+            return self._fixed_batch
         unit = self._bucket_unit
         return unit * (1 << max(0, (-(-n // unit) - 1)).bit_length())
 
@@ -170,6 +188,8 @@ class OpenSetPredictor:
         XLA compile (minutes for ResNet-50 on a cold TPU).  Call this
         before taking traffic to move all compiles to start-up.
         """
+        if self._fixed_batch is not None:
+            max_batch = self._fixed_batch  # one shape: one compile
         b = self._bucket(1)
         while True:
             images = np.zeros((b, self.image_size, self.image_size, 3),

@@ -56,16 +56,19 @@ def get_args(argv=None):
 
 def main(argv=None):
     args = get_args(argv)
-    from ..export import (ARTIFACT_SUFFIX, build_serving_fn, export_serving,
-                          load_serving, save_exported)
+    from ..export import (ARTIFACT_SUFFIX, assert_close_bf16,
+                          build_serving_fn, export_forward, load_serving,
+                          save_exported)
     from ..logger import configure_logger
 
     log = configure_logger()
     out = pathlib.Path(args.output) if args.output else \
         pathlib.Path(args.checkpoint).with_suffix(ARTIFACT_SUFFIX)
-    exported = export_serving(args.checkpoint, args.n_classes,
-                              variant=args.model_variant,
-                              image_size=args.image_size,
+    # Built once; --validate reuses it (no second checkpoint read).
+    live = build_serving_fn(args.checkpoint, args.n_classes,
+                            variant=args.model_variant,
+                            image_size=args.image_size)
+    exported = export_forward(live, image_size=args.image_size,
                               batch_size=args.batch_size,
                               platforms=args.platforms)
     save_exported(exported, out)
@@ -77,9 +80,6 @@ def main(argv=None):
         import numpy as np
 
         fn = load_serving(out)
-        live = build_serving_fn(args.checkpoint, args.n_classes,
-                                variant=args.model_variant,
-                                image_size=args.image_size)
         batch = args.batch_size or 2
         imgs = np.random.default_rng(0).integers(
             0, 256, (batch, args.image_size, args.image_size, 3),
@@ -87,9 +87,7 @@ def main(argv=None):
         got = fn(imgs)
         want = live(imgs)
         for g, w, name in zip(got, want, ("logits", "features", "scores")):
-            np.testing.assert_allclose(np.asarray(g), np.asarray(w),
-                                       atol=2e-3, rtol=2e-2,
-                                       err_msg=name)
+            assert_close_bf16(g, w, name)
         log.info("validated: artifact matches the live forward "
                  "(bf16-level tolerance)")
     return str(out)

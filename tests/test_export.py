@@ -12,8 +12,9 @@ from openset_imagenet_tpu import train as engine
 from tests.test_engine import tiny_cfg, write_protocol_csvs
 
 # bf16 model compute: two independently-compiled programs (the exported
-# symbolic-batch module vs the live jit) agree only to bf16 precision.
-TOL = dict(atol=2e-3, rtol=2e-2)
+# symbolic-batch module vs the live jit) agree only to bf16 precision —
+# the scale-aware bound lives in export.assert_close_bf16.
+from openset_imagenet_tpu.export import assert_close_bf16
 
 
 @pytest.fixture(scope="module")
@@ -45,8 +46,7 @@ def test_symbolic_export_roundtrip(trained, tmp_path):
         names = ("logits", "features", "scores")
         for g, w, name in zip(got, want, names, strict=True):
             assert np.asarray(g).shape == (n, 3)
-            np.testing.assert_allclose(np.asarray(g), np.asarray(w),
-                                       err_msg=name, **TOL)
+            assert_close_bf16(g, w, name)
 
 
 def test_exported_scores_match_predictor(trained, tmp_path):
@@ -66,7 +66,19 @@ def test_exported_scores_match_predictor(trained, tmp_path):
     classes, conf = pred.predict(imgs)
     np.testing.assert_array_equal(np.argmax(np.asarray(scores), -1),
                                   classes)
-    np.testing.assert_allclose(np.max(np.asarray(scores), -1), conf, **TOL)
+    assert_close_bf16(np.max(np.asarray(scores), -1), conf, "conf")
+
+
+def test_assert_close_bf16_bound():
+    """Scale-aware: 1% of (1 + max|want|); NaNs and big diffs fail."""
+    want = np.array([10.0, -5.0])
+    assert_close_bf16(want + 0.05, want)              # within 1% of 11
+    with pytest.raises(AssertionError, match="bf16"):
+        assert_close_bf16(want + 0.2, want)
+    with pytest.raises(AssertionError):
+        assert_close_bf16(np.array([np.nan, 0.0]), want)
+    # Small-scale outputs (scores) get the absolute floor, not 1% rel.
+    assert_close_bf16(np.array([0.001]), np.array([0.002]))
 
 
 def test_fixed_batch_export_rejects_other_shapes(trained, tmp_path):
@@ -102,7 +114,7 @@ def test_predictor_serves_artifact(trained, tmp_path):
     cls_a, conf_a = from_art.predict(imgs)
     cls_c, conf_c = from_ckpt.predict(imgs)
     np.testing.assert_array_equal(cls_a, cls_c)
-    np.testing.assert_allclose(conf_a, conf_c, **TOL)
+    assert_close_bf16(conf_a, conf_c, "conf")
 
     with pytest.raises(ValueError, match="n_classes"):
         OpenSetPredictor(art, n_classes=7, image_size=32)
@@ -141,6 +153,31 @@ def test_predict_cli_serves_artifact(trained, tmp_path):
     assert rows[0] == ["path", "prediction", "score"]
     assert len(rows) == 4
     assert all(int(r[1]) in (0, 1, 2) for r in rows[1:])
+
+
+def test_predictor_serves_fixed_batch_artifact(trained, tmp_path):
+    """Fixed-batch artifacts pad every request to B; bigger requests and
+    warmup fail/stop cleanly instead of crashing inside the program."""
+    from openset_imagenet_tpu.export import export_serving, save_exported
+    from openset_imagenet_tpu.inference import OpenSetPredictor
+
+    art = save_exported(
+        export_serving(trained, 3, variant="tiny", image_size=32,
+                       batch_size=4),
+        tmp_path / "m4.stablehlo")
+    pred = OpenSetPredictor(art, n_classes=3, image_size=32)
+    imgs = np.random.default_rng(5).integers(
+        0, 256, (2, 32, 32, 3), dtype=np.uint8)
+    classes, _ = pred.predict(imgs)          # 2 pads to the fixed 4
+    assert classes.shape == (2,)
+    pred.warmup(max_batch=256)               # capped at the one shape
+    with pytest.raises(ValueError, match="fixed batch"):
+        pred.predict(np.zeros((5, 32, 32, 3), np.uint8))
+    # Chunking in <=B requests serves arbitrarily long inputs.
+    big = np.random.default_rng(6).integers(
+        0, 256, (7, 32, 32, 3), dtype=np.uint8)
+    got = [pred.predict(big[i:i + 4])[0] for i in range(0, 7, 4)]
+    assert sum(len(c) for c in got) == 7
 
 
 def test_export_cli_writes_and_validates(trained, tmp_path, monkeypatch):

@@ -80,7 +80,7 @@ def test_bucket_helper_properties():
 
     bucket = OpenSetPredictor._bucket
     for unit in (1, 2, 3, 5, 8):
-        fake = SimpleNamespace(_bucket_unit=unit)
+        fake = SimpleNamespace(_bucket_unit=unit, _fixed_batch=None)
         for n in range(0, 80):
             b = bucket(fake, n)
             assert b % unit == 0 and b >= max(n, unit), (unit, n, b)

@@ -291,6 +291,26 @@ output_directory: {out}
     cpreds = [int(l.rsplit(",", 2)[1]) for l in clines[1:]]
     assert any(p >= 0 for p in cpreds), cpreds  # knowns still accepted
 
+    # 4c. deployment export: checkpoint -> StableHLO artifact (validated
+    # against the live forward), then the SAME predict CLI serves the
+    # artifact and must reproduce the checkpoint predictions exactly.
+    artifact = root / f"{loss}.stablehlo"
+    run("export", ["openset_imagenet_tpu.script.export",
+                   out / f"{loss}_curr.pth", str(n_pred),
+                   "--image-size", "64", "--platforms", "cpu",
+                   "-o", artifact, "--validate"], env, root)
+    art_csv = root / "predictions_artifact.csv"
+    run("predict(artifact)",
+        [pred_base[0], artifact] + pred_base[2:] + ["-o", art_csv],
+        env, root)
+    art_preds = [int(l.rsplit(",", 2)[1])
+                 for l in art_csv.read_text().strip().splitlines()[1:]]
+    # The artifact and the live jit are independently compiled bf16
+    # programs (agree to ~1%); allow the same one-borderline-image slack
+    # stage 4's own gate uses instead of demanding bitwise argmax.
+    flips = sum(a != p for a, p in zip(art_preds, preds))
+    assert len(art_preds) == len(preds) and flips <= 1, (art_preds, preds)
+
     # 5. plot
     run("plot", ["openset_imagenet_tpu.script.plot_all",
                  "--protocols", "1", "--loss-functions", loss,
