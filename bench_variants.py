@@ -265,6 +265,46 @@ def run_forward_cost(name, batch, **kw):
     del state, arrays
 
 
+def run_forward_artifact(name, batch, **kw):
+    """Exported-artifact serving vs the live jitted forward, same chip.
+
+    Round-trips the production forward through jax.export
+    serialize/deserialize (exactly what export_imagenet.py ships) and
+    times the deserialized call with the shared protocol — measures the
+    deployment artifact's throughput cost relative to make_forward_step
+    (expected ~0: same XLA program after recompilation).
+    """
+    from jax import export as jexport
+
+    from openset_imagenet_tpu import train as engine
+    from openset_imagenet_tpu.export import export_forward
+
+    state, _, arrays = build(batch, **kw)
+    images = arrays[0]
+    live = engine.make_forward_step()
+    rate_live = time_forward(live, state, images, batch)
+
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    def forward(imgs):
+        x = imgs.astype(jnp.float32) * (1.0 / 255.0)
+        logits, features = state.apply_fn(variables, x, train=False)
+        return logits, features, jax.nn.softmax(
+            logits.astype(jnp.float32), axis=-1)
+
+    t0 = time.time()
+    exported = jexport.deserialize(
+        export_forward(forward, batch_size=batch,
+                       platforms=(jax.default_backend(),)).serialize())
+    art = jax.jit(lambda s, imgs: exported.call(imgs))
+    rate_art = time_forward(art, state, images, batch)
+    emit(variant=name, batch=batch, imgs_per_sec=round(rate_art, 1),
+         live_imgs_per_sec=round(rate_live, 1),
+         artifact_vs_live=round(rate_art / rate_live, 3),
+         export_s=round(time.time() - t0, 1))
+    del state, arrays
+
+
 def cost_analysis(batch=256, **kw):
     """Compile-time FLOP/byte analysis of the step (no execution)."""
     from openset_imagenet_tpu import train as engine
@@ -314,6 +354,7 @@ VARIANTS = {
         "fwd_opt_both", 256,
         {"xla_tpu_enable_latency_hiding_scheduler": "true",
          "xla_tpu_scoped_vmem_limit_kib": "65536"}),
+    "fwd_artifact": lambda: run_forward_artifact("fwd_artifact", 256),
     "fwd_cost64": lambda: run_forward_cost("fwd_cost64", 64),
     "fwd_cost128": lambda: run_forward_cost("fwd_cost128", 128),
     "fwd_cost256": lambda: run_forward_cost("fwd_cost256", 256),
