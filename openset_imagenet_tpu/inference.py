@@ -218,7 +218,8 @@ class OpenSetPredictor:
             images = np.concatenate([images, pad])
         return n, self._forward(self._state, images)
 
-    def _finish(self, n: int, outputs, return_features: bool):
+    def _finish(self, n: int, outputs, return_features: bool,
+                return_arrays: bool = False):
         """Fetch + postprocess a dispatched forward (blocks on the device)."""
         logits, features, scores = outputs
         scores = np.asarray(scores)[:n]
@@ -236,21 +237,28 @@ class OpenSetPredictor:
             measure = conf
         if self.threshold > 0:
             pred = np.where(measure < self.threshold, -1, pred)
+        if return_arrays:
+            # Full per-class softmax INCLUDING any background column
+            # (reference npz `scores` layout, script/evaluate.py:133-149).
+            return pred, measure, features, scores
         if return_features:
             return pred, measure, features
         return pred, measure
 
-    def predict(self, inputs: Iterable, return_features: bool = False):
+    def predict(self, inputs: Iterable, return_features: bool = False,
+                return_arrays: bool = False):
         """Classify images (paths or a uint8 ``[N, H, W, 3]`` array).
 
-        Returns ``(pred_class, pred_score)`` (+ features); rejected samples
-        get class ``-1``.
+        Returns ``(pred_class, pred_score)`` (+ features with
+        ``return_features``; + features AND the full per-class softmax
+        matrix with ``return_arrays``); rejected samples get class ``-1``.
         """
         n, outputs = self._dispatch(self._load_images(inputs))
-        return self._finish(n, outputs, return_features)
+        return self._finish(n, outputs, return_features, return_arrays)
 
     def predict_stream(self, paths, batch_size: int = 64, prefetch: int = 2,
-                       return_features: bool = False):
+                       return_features: bool = False,
+                       return_arrays: bool = False):
         """Pipelined bulk prediction: yields ``(chunk_paths, *results)``.
 
         Three overlapped stages, mirroring training's prefetching
@@ -303,7 +311,7 @@ class OpenSetPredictor:
                     # the bad input, exactly like the serial loop did.
                     if pending is not None:
                         pchunk, pn, pout = pending
-                        results = self._finish(pn, pout, return_features)
+                        results = self._finish(pn, pout, return_features, return_arrays)
                         pending = None
                         yield (pchunk, *results)
                     raise item
@@ -313,12 +321,12 @@ class OpenSetPredictor:
                 n, outputs = self._dispatch(images)
                 if pending is not None:
                     pchunk, pn, pout = pending
-                    results = self._finish(pn, pout, return_features)
+                    results = self._finish(pn, pout, return_features, return_arrays)
                     yield (pchunk, *results)
                 pending = (chunk, n, outputs)
             if pending is not None:
                 pchunk, pn, pout = pending
-                results = self._finish(pn, pout, return_features)
+                results = self._finish(pn, pout, return_features, return_arrays)
                 yield (pchunk, *results)
         finally:
             stop.set()

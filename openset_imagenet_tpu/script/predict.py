@@ -75,6 +75,13 @@ def get_args(argv=None):
                              "everything on the calling thread")
     parser.add_argument("--output", "-o", default="-",
                         help="Predictions CSV path ('-' = stdout)")
+    parser.add_argument("--features-output", metavar="NPZ", default=None,
+                        help="Also save deep features + full softmax "
+                             "scores as an .npz (keys: paths, features, "
+                             "scores; row order matches the predictions "
+                             "CSV) — the serving-side analogue of "
+                             "evaluate_imagenet's arrays for downstream "
+                             "open-set analysis")
     parser.add_argument("--gpu", "-g", type=int, nargs="?", default=None,
                         const=0,
                         help="Pin inference to this device index")
@@ -220,23 +227,42 @@ def main(argv=None):
         # forward of chunk k (predict_stream); the serial chunk loop
         # (--no-stream) idles the device during host decode but avoids
         # the producer thread.
+        arrays = args.features_output is not None
+
         def serial():
             for i in range(0, len(paths), args.batch_size):
                 chunk = paths[i:i + args.batch_size]
-                yield (chunk, *predictor.predict(chunk))
+                yield (chunk, *predictor.predict(chunk,
+                                                 return_arrays=arrays))
 
         stream = () if not paths else (
             serial() if args.no_stream
             else predictor.predict_stream(paths,
-                                          batch_size=args.batch_size))
-        for chunk, pred, score in stream:
+                                          batch_size=args.batch_size,
+                                          return_arrays=arrays))
+        feat_chunks, score_chunks = [], []
+        for chunk, pred, score, *rest in stream:
             rejected += int((pred == -1).sum())
             for p, c, s in zip(chunk, pred, score):
                 writer.writerow([p, int(c), f"{float(s):.6f}"])
             out.flush()  # long runs stay tail-able / resumable
+            if arrays:
+                feat_chunks.append(rest[0])
+                score_chunks.append(rest[1])
     finally:
         if out is not sys.stdout:
             out.close()
+    if args.features_output is not None:
+        import numpy as np
+
+        empty_f = np.zeros((0, 0), np.float32)
+        np.savez(args.features_output,
+                 paths=np.asarray(paths),
+                 features=(np.concatenate(feat_chunks) if feat_chunks
+                           else empty_f),
+                 scores=(np.concatenate(score_chunks) if score_chunks
+                         else empty_f))
+        log.info(f"saved features/scores -> {args.features_output}")
     log.info(f"predicted {len(paths)} images "
              f"({rejected} rejected as unknown)"
              + (f" -> {args.output}" if args.output != "-" else ""))

@@ -335,6 +335,38 @@ def test_predict_cli_no_stream_matches_default(trained, tmp_path):
     assert len(outs[False].strip().splitlines()) == 6
 
 
+def test_predict_cli_features_output(trained, tmp_path):
+    """--features-output saves paths/features/scores aligned with the
+    predictions CSV; full softmax rows sum to 1 (background included)."""
+    from PIL import Image
+
+    from openset_imagenet_tpu.script.predict import main
+
+    root, cfg = trained
+    ckpt = cfg.output_directory / "entropic_best.pth"
+    rng = np.random.default_rng(21)
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    for i in range(5):
+        Image.fromarray(rng.integers(0, 256, (32, 32, 3),
+                                     np.uint8)).save(img_dir / f"i{i}.png")
+    out = tmp_path / "pred.csv"
+    npz = tmp_path / "arrays.npz"
+    rc = main([str(ckpt), "3", str(img_dir), "--model-variant", "tiny",
+               "--image-size", "32", "--batch-size", "2",
+               "-o", str(out), "--features-output", str(npz)])
+    assert rc == 0
+    lines = out.read_text().strip().splitlines()[1:]
+    with np.load(npz) as arr:
+        assert list(arr["paths"]) == [l.rsplit(",", 2)[0] for l in lines]
+        assert arr["features"].shape == (5, 3)
+        assert arr["scores"].shape == (5, 3)
+        np.testing.assert_allclose(arr["scores"].sum(-1), 1.0, atol=1e-4)
+        # CSV prediction/score reconstruct from the saved full arrays.
+        preds = arr["scores"].argmax(-1)
+        assert [int(l.rsplit(",", 2)[1]) for l in lines] == list(preds)
+
+
 def test_predict_stream_matches_serial_predict(trained):
     """predict_stream (pipelined) is bitwise-identical to per-chunk
     predict() calls and yields chunks in input order."""
