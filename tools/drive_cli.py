@@ -295,9 +295,11 @@ output_directory: {out}
     # against the live forward), then the SAME predict CLI serves the
     # artifact and must reproduce the checkpoint predictions exactly.
     artifact = root / f"{loss}.stablehlo"
+    # cpu+tpu lowering so --validate and the artifact-serving stage run
+    # on whichever backend this drive uses (--tpu or the CPU default).
     run("export", ["openset_imagenet_tpu.script.export",
                    out / f"{loss}_curr.pth", str(n_pred),
-                   "--image-size", "64", "--platforms", "cpu",
+                   "--image-size", "64", "--platforms", "cpu", "tpu",
                    "-o", artifact, "--validate"], env, root)
     art_csv = root / "predictions_artifact.csv"
     run("predict(artifact)",
