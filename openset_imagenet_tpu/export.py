@@ -14,7 +14,13 @@ with
   specializes per shape, exactly like our bucketed
   :class:`~openset_imagenet_tpu.inference.OpenSetPredictor`),
 * **multi-platform lowering** (``cpu`` + ``tpu`` by default): the same
-  file validates on a CPU host in CI and deploys on TPU serving hosts.
+  file validates on a CPU host in CI and deploys on TPU serving hosts,
+* an optional **serving-config sidecar** (``model.stablehlo.json``,
+  :func:`metadata_path`) carrying geometry, rejection mode/threshold
+  (including an FPR-calibrated operating point) and provenance, so the
+  pair is a complete deployment bundle:
+  ``predict_imagenet model.stablehlo auto imgs/`` serves with zero
+  re-specified configuration.
 
 The artifact computes exactly what the live predictor's jitted forward
 computes (``train.make_forward_step``): uint8 ``[N, H, W, 3]`` images →
@@ -34,6 +40,41 @@ import pathlib
 import numpy as np
 
 ARTIFACT_SUFFIX = ".stablehlo"
+
+#: Serving-config keys a metadata sidecar may carry.  The predictor
+#: resolves any constructor argument the caller left as ``None`` from
+#: these, so an exported bundle serves with zero re-specified
+#: configuration (``predict_imagenet model.stablehlo auto imgs/``).
+METADATA_KEYS = ("n_classes", "image_size", "variant", "mode",
+                 "has_background", "threshold")
+
+
+def metadata_path(path) -> pathlib.Path:
+    """Sidecar path for an artifact: ``model.stablehlo.json``.
+
+    A sidecar (not an envelope format) keeps the ``.stablehlo`` file
+    itself pure StableHLO bytes — any PJRT/IREE consumer reads it
+    unchanged; only this package's serving layer looks for the json.
+    """
+    path = pathlib.Path(path)
+    return path.with_name(path.name + ".json")
+
+
+def read_metadata(path) -> dict:
+    """Read an artifact's serving-config sidecar; ``{}`` if absent.
+
+    Missing/corrupt sidecars degrade to the no-metadata behavior (the
+    caller must then supply the serving config explicitly) rather than
+    failing the load: the artifact alone is still a complete program.
+    """
+    import json
+
+    side = metadata_path(path)
+    try:
+        meta = json.loads(side.read_text())
+    except (OSError, ValueError):
+        return {}
+    return meta if isinstance(meta, dict) else {}
 
 
 def build_serving_fn(checkpoint, n_classes: int, variant: str = "resnet50",
@@ -115,18 +156,32 @@ def export_forward(forward, image_size: int = 224, batch_size=None,
                           platforms=tuple(platforms))(spec)
 
 
-def save_exported(exported, path) -> pathlib.Path:
+def save_exported(exported, path, meta: dict | None = None) -> pathlib.Path:
     """Serialize an ``Exported`` to ``path`` (flatbuffer bytes).
 
     Atomic (temp file + rename, like ``checkpoint.py``): an interrupted
     export never leaves a truncated artifact where serving picks it up.
+
+    ``meta`` (optional) is written to the :func:`metadata_path` sidecar —
+    the serving config (:data:`METADATA_KEYS`) plus free-form provenance —
+    making the pair a self-contained deployment bundle.  A stale sidecar
+    from a previous export at the same path is removed when ``meta`` is
+    ``None`` so it can never misconfigure the new artifact.
     """
+    import json
     import os
 
     path = pathlib.Path(path)
     tmp = path.with_name(path.name + ".tmp")
     tmp.write_bytes(exported.serialize())
     os.replace(tmp, path)
+    side = metadata_path(path)
+    if meta is not None:
+        stmp = side.with_name(side.name + ".tmp")
+        stmp.write_text(json.dumps(meta, indent=2, sort_keys=True) + "\n")
+        os.replace(stmp, side)
+    elif side.exists():
+        side.unlink()
     return path
 
 
@@ -160,7 +215,8 @@ def load_serving(path):
     Returns ``fn(images_uint8) -> (logits, features, scores)`` running
     on the local backend (which must be one of the artifact's export
     platforms).  The call is jittable and shape-specializes per batch
-    size like any jax program.
+    size like any jax program.  ``fn.meta`` carries the bundle's
+    serving-config sidecar (``{}`` if the artifact ships without one).
     """
     from jax import export as jexport
 
@@ -170,4 +226,5 @@ def load_serving(path):
         return exported.call(images)
 
     forward.exported = exported
+    forward.meta = read_metadata(path)
     return forward

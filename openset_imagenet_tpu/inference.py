@@ -19,27 +19,61 @@ import jax
 import numpy as np
 
 
+def calibrate_threshold(arr_path, fpr_target: float, mode: str,
+                        has_background: bool) -> float:
+    """Derive the rejection threshold from evaluation arrays.
+
+    Computes the SAME rejection measure the predictor will apply
+    (``OpenSetPredictor._finish``: max softmax over the known-class
+    region, times the feature norm in objectosphere mode) on the
+    calibration set's negative/unknown rows (labels < 0), then picks the
+    smallest threshold whose unknown acceptance rate is <= ``fpr_target``
+    (:func:`~openset_imagenet_tpu.ops.oscr.threshold_at_fpr`).
+
+    Shared by ``predict_imagenet --threshold-at-fpr`` (serve-time
+    calibration) and ``export_imagenet --threshold-at-fpr`` (bake the
+    operating point into the deployment bundle's sidecar).
+    """
+    from .ops.oscr import threshold_at_fpr
+
+    with np.load(arr_path) as arr:
+        gt = arr["gt"]
+        scores = arr["scores"]
+        features = arr["features"] if mode == "objectosphere" else None
+    unk = gt < 0
+    if not unk.any():
+        raise ValueError(f"{arr_path}: no negative/unknown rows (gt < 0) "
+                         "to calibrate on")
+    class_scores = scores[:, :-1] if has_background else scores
+    measure = np.max(class_scores, axis=-1)
+    if mode == "objectosphere":
+        measure = measure * np.linalg.norm(features, axis=-1)
+    return threshold_at_fpr(measure[unk], fpr_target)
+
+
 class OpenSetPredictor:
     """Batched open-set classifier around a trained two-head ResNet."""
 
-    def __init__(self, checkpoint, n_classes: int, variant: str = "resnet50",
-                 image_size: int = 224, threshold: float = 0.0,
-                 mode: str = "softmax", has_background: bool = False,
-                 mesh=None):
+    def __init__(self, checkpoint, n_classes: int | None = None,
+                 variant: str = "resnet50", image_size: int | None = None,
+                 threshold: float | None = None, mode: str | None = None,
+                 has_background: bool | None = None, mesh=None):
         """Args:
             checkpoint: path to a ``.pth`` checkpoint from training, or
                 an exported ``.stablehlo`` serving artifact
                 (``export_imagenet.py``) — weights and model geometry
                 are baked into the artifact, so ``n_classes`` and
-                ``image_size`` are validated against its shapes rather
-                than used to build a model (``variant`` is ignored: the
-                artifact has no notion of it), and ``mesh`` is
-                unsupported (the artifact's program has no sharding
-                annotations).
+                ``image_size`` may be left ``None`` (inferred from the
+                artifact's shapes) or are validated against them
+                (``variant`` is ignored: the artifact has no notion of
+                it), and ``mesh`` is unsupported (the artifact's program
+                has no sharding annotations).
             n_classes: logits dimensionality the model was trained with
                 (garbage models include their background class).
+                Required for ``.pth`` checkpoints.
             variant: ResNet variant name.
-            image_size: crop size the model expects.
+            image_size: crop size the model expects (default 224 for
+                checkpoints; the exported size for artifacts).
             threshold: rejection threshold; 0 disables rejection.
             mode: 'softmax' (reject if max softmax < threshold) or
                 'objectosphere' (reject if ||feat|| * max softmax <
@@ -52,33 +86,55 @@ class OpenSetPredictor:
                 request batch sharded over the mesh devices (GSPMD; no
                 collectives in the forward, so throughput scales linearly
                 with chips).
+
+        ``threshold`` / ``mode`` / ``has_background`` left as ``None``
+        resolve from the artifact's serving-config sidecar
+        (``export.read_metadata``) when serving a bundle, else to
+        0.0 / 'softmax' / False — explicit arguments always win, so a
+        caller can override a bundle's baked-in operating point.
         """
-        from .export import ARTIFACT_SUFFIX
+        from .export import ARTIFACT_SUFFIX, read_metadata
 
         self._fixed_batch = None
         if str(checkpoint).endswith(ARTIFACT_SUFFIX):
+            self.meta = read_metadata(checkpoint)
             self._init_from_artifact(checkpoint, n_classes, image_size,
                                      mesh)
         else:
-            self._init_from_checkpoint(checkpoint, n_classes, variant,
-                                       image_size, mesh)
-        self.image_size = image_size
+            self.meta = {}
+            if n_classes is None:
+                raise ValueError(
+                    "n_classes is required when serving a .pth checkpoint "
+                    "(only exported .stablehlo artifacts carry their "
+                    "geometry)")
+            self.image_size = 224 if image_size is None else int(image_size)
+            self.n_classes = int(n_classes)
+            self._init_from_checkpoint(checkpoint, self.n_classes, variant,
+                                       self.image_size, mesh)
+        if threshold is None:
+            threshold = self.meta.get("threshold", 0.0)
         self.threshold = float(threshold)
+        if mode is None:
+            mode = self.meta.get("mode", "softmax")
         if mode not in ("softmax", "objectosphere"):
             raise ValueError(f"unknown rejection mode {mode!r}; choose "
                              "'softmax' or 'objectosphere'")
         self.mode = mode
-        self.has_background = has_background
+        if has_background is None:
+            has_background = self.meta.get("has_background", False)
+        self.has_background = bool(has_background)
         self._reader = None
 
-    def _init_from_artifact(self, path, n_classes: int, image_size: int,
+    def _init_from_artifact(self, path, n_classes, image_size,
                             mesh) -> None:
         """Serve an exported StableHLO artifact (weights baked in).
 
-        The program is fixed at export time, so the declared geometry is
-        *validated* against the artifact's shapes instead of building a
-        model — a wrong ``n_classes``/``image_size`` fails here with a
-        clear message, not at the first forward.
+        The program is fixed at export time, so the artifact's shapes ARE
+        the geometry: ``n_classes``/``image_size`` left ``None`` are
+        inferred from them; declared values are *validated* against them
+        — a wrong value fails here with a clear message, not at the
+        first forward.  (The shapes, not the sidecar, are the ground
+        truth: a hand-edited json can never misdeclare the program.)
         """
         from .export import load_serving
 
@@ -91,12 +147,14 @@ class OpenSetPredictor:
         fn = load_serving(path)
         in_shape = fn.exported.in_avals[0].shape       # (b, H, W, 3)
         out_dim = fn.exported.out_avals[0].shape[-1]   # logits dim
-        if int(in_shape[1]) != image_size:
+        if image_size is not None and int(in_shape[1]) != int(image_size):
             raise ValueError(f"{path}: exported for image_size="
                              f"{in_shape[1]}, got image_size={image_size}")
-        if int(out_dim) != n_classes:
+        if n_classes is not None and int(out_dim) != int(n_classes):
             raise ValueError(f"{path}: exported with n_classes={out_dim}, "
                              f"got n_classes={n_classes}")
+        self.image_size = int(in_shape[1])
+        self.n_classes = int(out_dim)
         # Fixed-batch artifacts (export --batch-size B) accept exactly
         # one shape: every request pads to B instead of the power-of-two
         # ladder, and requests larger than B fail up front with a clear

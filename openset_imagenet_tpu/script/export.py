@@ -51,7 +51,41 @@ def get_args(argv=None):
                              "check it against the live forward on one "
                              "random batch (needs a local backend "
                              "matching one of --platforms)")
-    return parser.parse_args(argv)
+    parser.add_argument("--mode", choices=("softmax", "objectosphere"),
+                        default="softmax",
+                        help="Rejection rule baked into the bundle's "
+                             "serving config (predict_imagenet uses it "
+                             "unless overridden)")
+    parser.add_argument("--background", action="store_true",
+                        help="Garbage-regime checkpoint: record in the "
+                             "bundle that the background column must be "
+                             "excluded from the class decision")
+    parser.add_argument("--threshold", "-t", type=float, default=0.0,
+                        help="Rejection threshold baked into the bundle "
+                             "(0 = no rejection)")
+    parser.add_argument("--threshold-at-fpr", type=float, default=None,
+                        metavar="FPR",
+                        help="Calibrate the baked-in threshold so at "
+                             "most this fraction of the calibration "
+                             "set's unknowns is accepted (needs "
+                             "--calibrate); mutually exclusive with "
+                             "--threshold")
+    parser.add_argument("--calibrate", metavar="ARR_NPZ", default=None,
+                        help="evaluate_imagenet output arrays "
+                             "(<loss>_val_arr.npz: gt/features/scores) "
+                             "whose negative/unknown rows calibrate "
+                             "--threshold-at-fpr")
+    args = parser.parse_args(argv)
+    if args.threshold_at_fpr is not None:
+        if args.calibrate is None:
+            parser.error("--threshold-at-fpr needs --calibrate "
+                         "(an evaluate_imagenet arrays .npz)")
+        if args.threshold:
+            parser.error("--threshold and --threshold-at-fpr are "
+                         "mutually exclusive")
+    elif args.calibrate is not None:
+        parser.error("--calibrate does nothing without --threshold-at-fpr")
+    return args
 
 
 def main(argv=None):
@@ -71,11 +105,38 @@ def main(argv=None):
     exported = export_forward(live, image_size=args.image_size,
                               batch_size=args.batch_size,
                               platforms=args.platforms)
-    save_exported(exported, out)
+    threshold = args.threshold
+    if args.threshold_at_fpr is not None:
+        from ..inference import calibrate_threshold
+
+        threshold = calibrate_threshold(args.calibrate,
+                                        args.threshold_at_fpr,
+                                        args.mode, args.background)
+        log.info(f"calibrated threshold {threshold:.6g} "
+                 f"(FPR <= {args.threshold_at_fpr} on {args.calibrate})")
+    # Serving config + provenance: the sidecar makes the pair a
+    # self-contained deployment bundle (predict_imagenet <artifact> auto
+    # serves it with zero re-specified configuration).
+    meta = {
+        "format": 1,
+        "n_classes": args.n_classes,
+        "image_size": args.image_size,
+        "variant": args.model_variant,
+        "mode": args.mode,
+        "has_background": bool(args.background),
+        "threshold": float(threshold),
+        "platforms": list(args.platforms),
+        "batch_size": args.batch_size,
+        "source_checkpoint": pathlib.Path(args.checkpoint).name,
+    }
+    if args.threshold_at_fpr is not None:
+        meta["threshold_fpr_target"] = args.threshold_at_fpr
+    save_exported(exported, out, meta=meta)
     size_mb = out.stat().st_size / 2**20
     log.info(f"wrote {out} ({size_mb:.1f} MiB, platforms="
              f"{','.join(args.platforms)}, batch="
-             f"{args.batch_size or 'symbolic'})")
+             f"{args.batch_size or 'symbolic'}) + serving config "
+             f"{out.name}.json")
     if args.validate:
         import numpy as np
 

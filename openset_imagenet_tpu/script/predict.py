@@ -24,6 +24,13 @@ import sys
 IMAGE_SUFFIXES = (".jpeg", ".jpg", ".png", ".bmp", ".webp")
 
 
+def _n_classes(value: str):
+    """Positional n_classes: an int, or 'auto' (artifact bundles only)."""
+    if value == "auto":
+        return None
+    return int(value)
+
+
 def get_args(argv=None):
     parser = argparse.ArgumentParser(
         "predict_imagenet",
@@ -33,10 +40,12 @@ def get_args(argv=None):
                              "reference-torch format), or an exported "
                              ".stablehlo serving artifact "
                              "(export_imagenet.py)")
-    parser.add_argument("n_classes", type=int,
+    parser.add_argument("n_classes", type=_n_classes,
                         help="Logit dimensionality the model was trained "
                              "with (garbage models: known classes + 1 "
-                             "background)")
+                             "background), or 'auto' to read it from an "
+                             "exported artifact's shapes (artifacts "
+                             "only)")
     parser.add_argument("images", nargs="+",
                         help="Image files, directories (searched "
                              "recursively), or .csv/.txt listings of "
@@ -44,8 +53,10 @@ def get_args(argv=None):
     parser.add_argument("--imagenet-directory", default=".",
                         help="Root that listed/relative paths resolve "
                              "against")
-    parser.add_argument("--threshold", "-t", type=float, default=0.0,
-                        help="Rejection threshold; 0 disables rejection")
+    parser.add_argument("--threshold", "-t", type=float, default=None,
+                        help="Rejection threshold; 0 disables rejection "
+                             "(default: the artifact bundle's baked-in "
+                             "threshold when serving one, else 0)")
     parser.add_argument("--threshold-at-fpr", type=float, default=None,
                         metavar="FPR",
                         help="Calibrate the rejection threshold so at "
@@ -59,14 +70,24 @@ def get_args(argv=None):
                              "whose negative/unknown rows calibrate "
                              "--threshold-at-fpr")
     parser.add_argument("--mode", choices=("softmax", "objectosphere"),
-                        default="softmax",
+                        default=None,
                         help="Rejection rule: max-softmax or "
-                             "||feature||*score (reference metrics.py:45-62)")
-    parser.add_argument("--background", action="store_true",
+                             "||feature||*score (reference "
+                             "metrics.py:45-62; default: the bundle's "
+                             "mode when serving an artifact, else "
+                             "softmax)")
+    parser.add_argument("--background", default=None,
+                        action=argparse.BooleanOptionalAction,
                         help="Garbage-regime checkpoint: exclude the "
-                             "background column from the class decision")
+                             "background column from the class decision "
+                             "(default: the bundle's flag when serving "
+                             "an artifact, else off; --no-background "
+                             "overrides a bundle)")
     parser.add_argument("--model-variant", default="resnet50")
-    parser.add_argument("--image-size", type=int, default=224)
+    parser.add_argument("--image-size", type=int, default=None,
+                        help="Crop size the model expects (default: the "
+                             "artifact's exported size when serving one, "
+                             "else 224)")
     parser.add_argument("--batch-size", type=int, default=64)
     parser.add_argument("--no-stream", action="store_true",
                         help="Serial chunk loop (decode, then forward) "
@@ -98,11 +119,18 @@ def get_args(argv=None):
         if args.calibrate is None:
             parser.error("--threshold-at-fpr needs --calibrate "
                          "(an evaluate_imagenet arrays .npz)")
-        if args.threshold:
+        if args.threshold is not None:
             parser.error("--threshold and --threshold-at-fpr are "
                          "mutually exclusive")
     elif args.calibrate is not None:
         parser.error("--calibrate does nothing without --threshold-at-fpr")
+    from ..export import ARTIFACT_SUFFIX
+    if args.n_classes is None and not str(args.checkpoint).endswith(
+            ARTIFACT_SUFFIX):
+        parser.error("n_classes 'auto' needs an exported .stablehlo "
+                     "artifact (only artifacts carry their geometry); "
+                     "pass the trained logit dimensionality for a .pth "
+                     "checkpoint")
     return args
 
 
@@ -110,30 +138,13 @@ def calibrate_threshold(arr_path, fpr_target: float, mode: str,
                         has_background: bool) -> float:
     """Derive the rejection threshold from evaluation arrays.
 
-    Computes the SAME rejection measure the predictor will apply
-    (``inference.py:_finish``: max softmax over the known-class region,
-    times the feature norm in objectosphere mode) on the calibration
-    set's negative/unknown rows (labels < 0), then picks the smallest
-    threshold whose unknown acceptance rate is <= ``fpr_target``
-    (:func:`~openset_imagenet_tpu.ops.oscr.threshold_at_fpr`).
+    Moved to :func:`openset_imagenet_tpu.inference.calibrate_threshold`
+    (shared with ``export_imagenet --threshold-at-fpr``); this alias
+    keeps the original import path working.
     """
-    import numpy as np
+    from ..inference import calibrate_threshold as impl
 
-    from ..ops.oscr import threshold_at_fpr
-
-    with np.load(arr_path) as arr:
-        gt = arr["gt"]
-        scores = arr["scores"]
-        features = arr["features"] if mode == "objectosphere" else None
-    unk = gt < 0
-    if not unk.any():
-        raise ValueError(f"{arr_path}: no negative/unknown rows (gt < 0) "
-                         "to calibrate on")
-    class_scores = scores[:, :-1] if has_background else scores
-    measure = np.max(class_scores, axis=-1)
-    if mode == "objectosphere":
-        measure = measure * np.linalg.norm(features, axis=-1)
-    return threshold_at_fpr(measure[unk], fpr_target)
+    return impl(arr_path, fpr_target, mode, has_background)
 
 
 def collect_paths(specs, root: pathlib.Path):
@@ -194,12 +205,6 @@ def main(argv=None):
     from ..logger import configure_logger
 
     log = configure_logger()
-    if args.threshold_at_fpr is not None:
-        args.threshold = calibrate_threshold(
-            args.calibrate, args.threshold_at_fpr, args.mode,
-            args.background)
-        log.info(f"calibrated threshold {args.threshold:.6g} "
-                 f"(FPR <= {args.threshold_at_fpr} on {args.calibrate})")
     paths = collect_paths(args.images, pathlib.Path(args.imagenet_directory))
     if not paths:
         log.warning("no images found")
@@ -207,12 +212,23 @@ def main(argv=None):
     if paths and args.devices is not None:
         from ..parallel.mesh import make_mesh
         mesh = make_mesh(num_devices=args.devices)
+    # Serving config left unset (None) resolves inside the predictor:
+    # from the artifact bundle's sidecar when serving one, else to the
+    # plain defaults (threshold 0 / softmax / no background / 224).
     predictor = (OpenSetPredictor(
         args.checkpoint, n_classes=args.n_classes,
         variant=args.model_variant, image_size=args.image_size,
         threshold=args.threshold, mode=args.mode,
         has_background=args.background, mesh=mesh)
         if paths else None)
+    if predictor is not None and args.threshold_at_fpr is not None:
+        # After construction so the calibration measure matches the
+        # RESOLVED mode/background (which may come from the bundle).
+        predictor.threshold = calibrate_threshold(
+            args.calibrate, args.threshold_at_fpr, predictor.mode,
+            predictor.has_background)
+        log.info(f"calibrated threshold {predictor.threshold:.6g} "
+                 f"(FPR <= {args.threshold_at_fpr} on {args.calibrate})")
 
     # An empty match still writes the header: rc 0 + a well-formed (empty)
     # predictions file, never a missing one.  Paths with commas are quoted

@@ -180,6 +180,134 @@ def test_predictor_serves_fixed_batch_artifact(trained, tmp_path):
     assert sum(len(c) for c in got) == 7
 
 
+def test_bundle_metadata_roundtrip(trained, tmp_path):
+    """The export CLI writes a serving-config sidecar; the predictor
+    resolves unset arguments from it, explicit arguments override it."""
+    from openset_imagenet_tpu.export import load_serving, metadata_path
+    from openset_imagenet_tpu.inference import OpenSetPredictor
+    from openset_imagenet_tpu.script import export as cli
+
+    art = tmp_path / "bundle.stablehlo"
+    cli.main([str(trained), "3", "--model-variant", "tiny",
+              "--image-size", "32", "--platforms", "cpu", "-o", str(art),
+              "--mode", "objectosphere", "--threshold", "0.25"])
+    side = metadata_path(art)
+    assert side.exists()
+    meta = load_serving(art).meta
+    assert meta["mode"] == "objectosphere"
+    assert meta["threshold"] == 0.25
+    assert meta["n_classes"] == 3 and meta["image_size"] == 32
+    assert meta["has_background"] is False
+    assert meta["source_checkpoint"] == trained.name
+
+    # Zero re-specified configuration: geometry from the shapes, serving
+    # config from the sidecar.
+    pred = OpenSetPredictor(art)
+    assert (pred.n_classes, pred.image_size) == (3, 32)
+    assert (pred.mode, pred.threshold) == ("objectosphere", 0.25)
+    assert pred.has_background is False
+    # Explicit arguments beat the bundle.
+    over = OpenSetPredictor(art, mode="softmax", threshold=0.0,
+                            has_background=True)
+    assert (over.mode, over.threshold, over.has_background) == \
+        ("softmax", 0.0, True)
+
+    # The bundle's operating point changes decisions exactly like the
+    # equivalent explicit flags on a checkpoint predictor.
+    imgs = np.random.default_rng(7).integers(
+        0, 256, (4, 32, 32, 3), dtype=np.uint8)
+    want = OpenSetPredictor(trained, n_classes=3, variant="tiny",
+                            image_size=32, mode="objectosphere",
+                            threshold=0.25)
+    np.testing.assert_array_equal(pred.predict(imgs)[0],
+                                  want.predict(imgs)[0])
+
+
+def test_save_exported_without_meta_removes_stale_sidecar(trained,
+                                                          tmp_path):
+    from openset_imagenet_tpu.export import (export_serving, metadata_path,
+                                             read_metadata, save_exported)
+
+    exported = export_serving(trained, 3, variant="tiny", image_size=32)
+    path = tmp_path / "m.stablehlo"
+    save_exported(exported, path, meta={"format": 1, "threshold": 0.9})
+    assert read_metadata(path)["threshold"] == 0.9
+    save_exported(exported, path)        # re-export without a config
+    assert not metadata_path(path).exists()
+    assert read_metadata(path) == {}     # and corrupt json degrades too
+    metadata_path(path).write_text("{not json")
+    assert read_metadata(path) == {}
+
+
+def test_predict_cli_auto_serves_bundle(trained, tmp_path):
+    """predict_imagenet <artifact> auto <imgs>: no geometry, no serving
+    flags — everything resolves from the bundle; a .pth with 'auto' is
+    refused up front."""
+    import csv
+
+    from PIL import Image
+
+    from openset_imagenet_tpu.script import export as ecli
+    from openset_imagenet_tpu.script import predict as pcli
+
+    art = tmp_path / "bundle.stablehlo"
+    ecli.main([str(trained), "3", "--model-variant", "tiny",
+               "--image-size", "32", "--platforms", "cpu", "-o", str(art),
+               "--threshold", "0.999999"])
+    rng = np.random.default_rng(8)
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    for i in range(3):
+        Image.fromarray(rng.integers(0, 256, (32, 32, 3),
+                                     np.uint8)).save(img_dir / f"i{i}.png")
+    out = tmp_path / "pred.csv"
+    rc = pcli.main([str(art), "auto", str(img_dir), "-o", str(out)])
+    assert rc == 0
+    with out.open(newline="") as f:
+        rows = list(csv.reader(f))[1:]
+    # The bundle's near-1 threshold rejects everything on a tiny
+    # random-image model: the baked-in operating point was applied.
+    assert [int(r[1]) for r in rows] == [-1, -1, -1]
+    # Explicit flag overrides the bundle: rejection off again.
+    out2 = tmp_path / "pred2.csv"
+    pcli.main([str(art), "auto", str(img_dir), "-o", str(out2),
+               "--threshold", "0"])
+    with out2.open(newline="") as f:
+        rows2 = list(csv.reader(f))[1:]
+    assert all(int(r[1]) >= 0 for r in rows2)
+
+    with pytest.raises(SystemExit):
+        pcli.main([str(trained), "auto", str(img_dir)])
+
+
+def test_export_cli_threshold_at_fpr(trained, tmp_path):
+    """--threshold-at-fpr bakes the calibrated operating point into the
+    bundle, identical to serve-time calibration on the same arrays."""
+    from openset_imagenet_tpu.export import read_metadata
+    from openset_imagenet_tpu.inference import calibrate_threshold
+    from openset_imagenet_tpu.script import export as cli
+
+    rng = np.random.default_rng(9)
+    arr = tmp_path / "val_arr.npz"
+    scores = rng.dirichlet(np.ones(3), size=20).astype(np.float32)
+    np.savez(arr, gt=np.array([1] * 10 + [-1] * 10),
+             features=rng.normal(size=(20, 3)).astype(np.float32),
+             scores=scores)
+    art = tmp_path / "cal.stablehlo"
+    cli.main([str(trained), "3", "--model-variant", "tiny",
+              "--image-size", "32", "--platforms", "cpu", "-o", str(art),
+              "--threshold-at-fpr", "0.2", "--calibrate", str(arr)])
+    meta = read_metadata(art)
+    want = calibrate_threshold(arr, 0.2, "softmax", False)
+    assert meta["threshold"] == pytest.approx(want)
+    assert meta["threshold_fpr_target"] == 0.2
+
+    with pytest.raises(SystemExit):   # calibration flags stay coupled
+        cli.main([str(trained), "3", "--threshold-at-fpr", "0.2"])
+    with pytest.raises(SystemExit):
+        cli.main([str(trained), "3", "--calibrate", str(arr)])
+
+
 def test_export_cli_writes_and_validates(trained, tmp_path, monkeypatch):
     from openset_imagenet_tpu.script import export as cli
 

@@ -300,7 +300,8 @@ output_directory: {out}
     run("export", ["openset_imagenet_tpu.script.export",
                    out / f"{loss}_curr.pth", str(n_pred),
                    "--image-size", "64", "--platforms", "cpu", "tpu",
-                   "-o", artifact, "--validate"], env, root)
+                   "-o", artifact, "--validate"]
+        + (["--background"] if loss == "garbage" else []), env, root)
     art_csv = root / "predictions_artifact.csv"
     run("predict(artifact)",
         [pred_base[0], artifact] + pred_base[2:] + ["-o", art_csv],
@@ -312,6 +313,16 @@ output_directory: {out}
     # stage 4's own gate uses instead of demanding bitwise argmax.
     flips = sum(a != p for a, p in zip(art_preds, preds))
     assert len(art_preds) == len(preds) and flips <= 1, (art_preds, preds)
+
+    # 4d. the same artifact serves as a self-contained bundle: 'auto'
+    # geometry and serving config resolve from the metadata sidecar
+    # (no --image-size / --background re-specified) and must reproduce
+    # the explicit-flag serving bitwise (same program, same config).
+    auto_csv = root / "predictions_bundle.csv"
+    run("predict(bundle auto)",
+        [pred_base[0], artifact, "auto", dog_dir, "--batch-size", "8",
+         "-o", auto_csv], env, root)
+    assert auto_csv.read_text() == art_csv.read_text()
 
     # 5. plot
     run("plot", ["openset_imagenet_tpu.script.plot_all",
