@@ -171,6 +171,38 @@ def load_weights_any_format(checkpoint, state, model, image_size: int = 224):
                 epoch, best)
 
 
+def infer_n_classes(checkpoint) -> int:
+    """Logits-head output dimensionality stored in a trained checkpoint.
+
+    Lets serving accept ``n_classes=None`` / CLI ``auto`` with a ``.pth``:
+    reads the native msgpack ``model_state_dict/logits/kernel`` shape
+    (``[fc_layer_dim, n_classes]``), falling back to the reference-torch
+    layout (``logits.weight``, ``[n_classes, fc_layer_dim]``, optionally
+    ``module.``-prefixed like the published DataParallel models).
+    """
+    try:
+        with open(checkpoint, "rb") as f:
+            payload = serialization.msgpack_restore(f.read())
+        return int(np.shape(
+            payload["model_state_dict"]["logits"]["kernel"])[-1])
+    except Exception:
+        try:
+            import torch
+
+            payload = torch.load(checkpoint, map_location="cpu",
+                                 weights_only=True)
+            sd = payload.get("model_state_dict", payload)
+            key = ("logits.weight" if "logits.weight" in sd
+                   else "module.logits.weight")
+            return int(sd[key].shape[0])
+        except Exception as convert_err:
+            raise ValueError(
+                f"{checkpoint}: cannot infer n_classes (no logits head "
+                "found in either the native msgpack or the reference "
+                "torch layout) — pass it explicitly"
+            ) from convert_err
+
+
 def read_metadata(checkpoint) -> dict:
     """Read only ``{epoch, best_score}`` (the plot layer's use, reference
     ``script/plot_all.py:140-141``) without materialising the weights.

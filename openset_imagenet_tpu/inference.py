@@ -69,8 +69,9 @@ class OpenSetPredictor:
                 it), and ``mesh`` is unsupported (the artifact's program
                 has no sharding annotations).
             n_classes: logits dimensionality the model was trained with
-                (garbage models include their background class).
-                Required for ``.pth`` checkpoints.
+                (garbage models include their background class).  Left
+                ``None``, it is read from the artifact's output shape or
+                the checkpoint's logits head (``infer_n_classes``).
             variant: ResNet variant name.
             image_size: crop size the model expects (default 224 for
                 checkpoints; the exported size for artifacts).
@@ -103,10 +104,11 @@ class OpenSetPredictor:
         else:
             self.meta = {}
             if n_classes is None:
-                raise ValueError(
-                    "n_classes is required when serving a .pth checkpoint "
-                    "(only exported .stablehlo artifacts carry their "
-                    "geometry)")
+                # One extra checkpoint read; serving construction is a
+                # one-time cost next to the first XLA compile.
+                from .checkpoint import infer_n_classes
+
+                n_classes = infer_n_classes(checkpoint)
             self.image_size = 224 if image_size is None else int(image_size)
             self.n_classes = int(n_classes)
             self._init_from_checkpoint(checkpoint, self.n_classes, variant,

@@ -25,7 +25,8 @@ IMAGE_SUFFIXES = (".jpeg", ".jpg", ".png", ".bmp", ".webp")
 
 
 def _n_classes(value: str):
-    """Positional n_classes: an int, or 'auto' (artifact bundles only)."""
+    """Positional n_classes: an int, or 'auto' (inferred from the
+    artifact's shapes / the checkpoint's logits head)."""
     if value == "auto":
         return None
     return int(value)
@@ -44,8 +45,8 @@ def get_args(argv=None):
                         help="Logit dimensionality the model was trained "
                              "with (garbage models: known classes + 1 "
                              "background), or 'auto' to read it from an "
-                             "exported artifact's shapes (artifacts "
-                             "only)")
+                             "exported artifact's shapes / the "
+                             "checkpoint's logits head")
     parser.add_argument("images", nargs="+",
                         help="Image files, directories (searched "
                              "recursively), or .csv/.txt listings of "
@@ -124,13 +125,6 @@ def get_args(argv=None):
                          "mutually exclusive")
     elif args.calibrate is not None:
         parser.error("--calibrate does nothing without --threshold-at-fpr")
-    from ..export import ARTIFACT_SUFFIX
-    if args.n_classes is None and not str(args.checkpoint).endswith(
-            ARTIFACT_SUFFIX):
-        parser.error("n_classes 'auto' needs an exported .stablehlo "
-                     "artifact (only artifacts carry their geometry); "
-                     "pass the trained logit dimensionality for a .pth "
-                     "checkpoint")
     return args
 
 

@@ -276,8 +276,16 @@ def test_predict_cli_auto_serves_bundle(trained, tmp_path):
         rows2 = list(csv.reader(f))[1:]
     assert all(int(r[1]) >= 0 for r in rows2)
 
-    with pytest.raises(SystemExit):
-        pcli.main([str(trained), "auto", str(img_dir)])
+    # 'auto' works for a raw checkpoint too: n_classes read from the
+    # logits head (geometry stays explicit — no sidecar to resolve from).
+    out3 = tmp_path / "pred3.csv"
+    rc = pcli.main([str(trained), "auto", str(img_dir),
+                    "--model-variant", "tiny", "--image-size", "32",
+                    "-o", str(out3)])
+    assert rc == 0
+    with out3.open(newline="") as f:
+        rows3 = list(csv.reader(f))[1:]
+    assert [r[1] for r in rows3] == [r[1] for r in rows2]
 
 
 def test_export_cli_threshold_at_fpr(trained, tmp_path):

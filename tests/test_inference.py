@@ -212,6 +212,43 @@ def test_predict_cli_serves_torch_checkpoint(trained, tmp_path):
         assert abs(float(sa) - float(sb)) < 1e-5
 
 
+def test_infer_n_classes_both_formats(trained, tmp_path):
+    """'auto' geometry for raw checkpoints: the logits-head width reads
+    back from native msgpack AND reference-torch files; non-checkpoints
+    fail with a clear error."""
+    import optax
+
+    import jax
+
+    from openset_imagenet_tpu.checkpoint import (infer_n_classes,
+                                                 load_checkpoint)
+    from openset_imagenet_tpu.config import NameSpace
+    from openset_imagenet_tpu.convert import save_reference_checkpoint
+    from openset_imagenet_tpu.inference import OpenSetPredictor
+
+    root, cfg = trained
+    native = cfg.output_directory / "entropic_best.pth"
+    assert infer_n_classes(native) == 3
+
+    model = engine.build_model(
+        NameSpace({"model": {"variant": "tiny"}, "seed": 0, "data": {}}), 3)
+    state = engine.create_state(model, jax.random.PRNGKey(0),
+                                optax.identity(), image_size=32)
+    state, _, _ = load_checkpoint(native, state, restore_opt=False)
+    torch_path = tmp_path / "ref.pth"
+    save_reference_checkpoint(torch_path, state, epoch=1, best_score=0.5)
+    assert infer_n_classes(torch_path) == 3
+
+    junk = tmp_path / "junk.pth"
+    junk.write_bytes(b"not a checkpoint")
+    with pytest.raises(ValueError, match="infer n_classes"):
+        infer_n_classes(junk)
+
+    # The predictor path: n_classes=None resolves from the checkpoint.
+    pred = OpenSetPredictor(native, variant="tiny", image_size=32)
+    assert pred.n_classes == 3
+
+
 def test_mesh_predictor_matches_single_device(trained):
     """Data-parallel serving: an 8-device mesh predictor returns the same
     classes/scores as the single-device one, including on a ragged batch
