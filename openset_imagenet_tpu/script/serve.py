@@ -1,0 +1,146 @@
+"""``serve_imagenet`` CLI: long-running HTTP prediction service.
+
+Beyond the reference's inventory (its pipeline ends at offline arrays,
+reference ``script/evaluate.py:82-149``): loads a trained checkpoint or
+an exported ``.stablehlo`` bundle once, pre-compiles the serving batch
+buckets, then serves open-set predictions over HTTP with dynamic
+batching (:mod:`openset_imagenet_tpu.serve`).
+
+The model/operating-point flags are the ``predict_imagenet`` set, so a
+validated offline configuration transfers to the daemon verbatim::
+
+    serve_imagenet entropic.stablehlo auto --port 8000
+    curl -s -X POST --data-binary @img.jpg localhost:8000/v1/predict
+"""
+
+from __future__ import annotations
+
+import argparse
+import signal
+import sys
+import threading
+
+from .predict import _n_classes, calibrate_threshold
+
+
+def get_args(argv=None):
+    parser = argparse.ArgumentParser(
+        "serve_imagenet",
+        description="Serve open-set predictions over HTTP")
+    parser.add_argument("checkpoint",
+                        help="Trained checkpoint (.pth; native or "
+                             "reference-torch format), or an exported "
+                             ".stablehlo serving artifact")
+    parser.add_argument("n_classes", type=_n_classes,
+                        help="Logit dimensionality the model was trained "
+                             "with, or 'auto' to read it from the "
+                             "artifact's shapes / the checkpoint's "
+                             "logits head")
+    parser.add_argument("--host", default="127.0.0.1",
+                        help="Bind address (default loopback; use "
+                             "0.0.0.0 behind a real ingress only)")
+    parser.add_argument("--port", type=int, default=8000)
+    parser.add_argument("--max-batch", type=int, default=64,
+                        help="Largest coalesced device batch (clamped to "
+                             "a fixed-batch artifact's exported size)")
+    parser.add_argument("--batch-window-ms", type=float, default=2.0,
+                        help="How long a lone request waits for "
+                             "companions before dispatching (0 = never "
+                             "wait; simultaneous arrivals still share a "
+                             "forward)")
+    parser.add_argument("--no-warmup", action="store_true",
+                        help="Skip pre-compiling the batch buckets at "
+                             "start-up (first requests then pay the XLA "
+                             "compiles)")
+    parser.add_argument("--threshold", "-t", type=float, default=None,
+                        help="Rejection threshold; 0 disables rejection "
+                             "(default: the artifact bundle's baked-in "
+                             "threshold when serving one, else 0)")
+    parser.add_argument("--threshold-at-fpr", type=float, default=None,
+                        metavar="FPR",
+                        help="Calibrate the rejection threshold from "
+                             "--calibrate arrays (predict_imagenet "
+                             "semantics)")
+    parser.add_argument("--calibrate", metavar="ARR_NPZ", default=None,
+                        help="evaluate_imagenet arrays whose negative/"
+                             "unknown rows calibrate --threshold-at-fpr")
+    parser.add_argument("--mode", choices=("softmax", "objectosphere"),
+                        default=None)
+    parser.add_argument("--background", default=None,
+                        action=argparse.BooleanOptionalAction,
+                        help="Garbage-regime checkpoint: exclude the "
+                             "background column from the class decision")
+    parser.add_argument("--model-variant", default="resnet50")
+    parser.add_argument("--image-size", type=int, default=None)
+    parser.add_argument("--gpu", "-g", type=int, nargs="?", default=None,
+                        const=0,
+                        help="Pin serving to this device index")
+    parser.add_argument("--devices", "-d", type=int, default=None,
+                        help="Data-parallel serving over the first N "
+                             "local devices")
+    args = parser.parse_args(argv)
+    if args.gpu is not None and args.devices is not None:
+        parser.error("--gpu pins one device; --devices shards over "
+                     "several — pass at most one of them")
+    if args.threshold_at_fpr is not None:
+        if args.calibrate is None:
+            parser.error("--threshold-at-fpr needs --calibrate")
+        if args.threshold is not None:
+            parser.error("--threshold and --threshold-at-fpr are "
+                         "mutually exclusive")
+    elif args.calibrate is not None:
+        parser.error("--calibrate does nothing without --threshold-at-fpr")
+    return args
+
+
+def main(argv=None):
+    args = get_args(argv)
+    if args.gpu is not None:
+        from ..parallel.mesh import select_device
+        import jax
+        jax.config.update("jax_default_device",
+                          select_device(args.gpu)[0])
+
+    from ..inference import OpenSetPredictor
+    from ..logger import configure_logger
+    from ..serve import PredictionServer
+
+    log = configure_logger()
+    mesh = None
+    if args.devices is not None:
+        from ..parallel.mesh import make_mesh
+        mesh = make_mesh(num_devices=args.devices)
+    predictor = OpenSetPredictor(
+        args.checkpoint, n_classes=args.n_classes,
+        variant=args.model_variant, image_size=args.image_size,
+        threshold=args.threshold, mode=args.mode,
+        has_background=args.background, mesh=mesh)
+    if args.threshold_at_fpr is not None:
+        predictor.threshold = calibrate_threshold(
+            args.calibrate, args.threshold_at_fpr, predictor.mode,
+            predictor.has_background)
+        log.info(f"calibrated threshold {predictor.threshold:.6g} "
+                 f"(FPR <= {args.threshold_at_fpr} on {args.calibrate})")
+    if not args.no_warmup:
+        log.info(f"warming up batch buckets to {args.max_batch} ...")
+        predictor.warmup(args.max_batch)
+
+    server = PredictionServer((args.host, args.port), predictor,
+                              max_batch=args.max_batch,
+                              window_ms=args.batch_window_ms)
+    stop = threading.Event()
+    for sig in (signal.SIGINT, signal.SIGTERM):
+        signal.signal(sig, lambda *_: stop.set())
+    server.start()
+    host, port = server.server_address[:2]
+    log.info(f"serving {args.checkpoint} on http://{host}:{port} "
+             f"(max_batch={server.batcher.max_batch}, "
+             f"window={args.batch_window_ms}ms)")
+    stop.wait()
+    log.info("shutting down")
+    server.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,368 @@
+"""Online serving daemon: HTTP API + dynamic batching over the predictor.
+
+Beyond the reference's inventory (it stops at offline score extraction,
+reference ``script/evaluate.py:82-149``): this module turns
+:class:`~openset_imagenet_tpu.inference.OpenSetPredictor` into a
+long-running prediction service.  Design:
+
+* **One device thread.**  Every forward runs on the single batcher
+  thread, so the jitted program is dispatched from one place — HTTP
+  handler threads only decode and wait.  (JAX dispatch is not designed
+  for concurrent same-program callers; the queue *is* the lock.)
+* **Dynamic batching.**  Requests arriving within ``window_ms`` of each
+  other coalesce into one padded forward (the predictor's power-of-two
+  bucketing keeps the set of compiled programs small; see
+  ``OpenSetPredictor._bucket``).  A single request never waits longer
+  than the window; a full batch dispatches immediately.  This is the
+  TPU-shaped answer to request-level concurrency: the MXU wants batches,
+  not a stream of batch-1 forwards.
+* **stdlib only.**  ``http.server.ThreadingHTTPServer`` + ``json`` +
+  ``base64`` — no web framework to pin, nothing to install on the
+  serving host.
+
+API (all responses JSON):
+
+* ``GET /healthz``  -> ``{"status": "ok", model geometry + operating
+  point}`` — readiness probe.
+* ``GET /stats``    -> request/image/batch/error counters (mean batch
+  size = images/batches shows whether coalescing is happening).
+* ``POST /v1/predict`` with a raw image body (any ``Content-Type``
+  except ``application/json``) -> one result object; with a JSON body
+  ``{"images": ["<base64>", ...]}`` -> ``{"results": [...]}``.
+  A result is ``{"prediction": int, "score": float, "rejected": bool}``
+  (+ ``"features"`` with ``?features=1``); rejected samples carry the
+  protocol's ``-1`` convention (reference ``protocol.py:192-204``).
+
+Decode parity: request bytes go through the SAME fused native
+decode -> shorter-side resize -> center-crop path as evaluation
+(``native/jpeg.py``), with the PIL replay fallback for non-JPEG or
+damaged inputs — a served prediction is bitwise the prediction the
+evaluate CLI would produce for the same file.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import queue
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+from urllib.parse import parse_qs, urlsplit
+
+import numpy as np
+
+MAX_BODY_BYTES = 128 * 1024 * 1024  # reject absurd uploads before reading
+
+
+def decode_to_input(data: bytes, image_size: int,
+                    resize: Optional[int] = None) -> np.ndarray:
+    """Request bytes -> the model's ``uint8 [H, W, 3]`` eval input.
+
+    Same geometry as the evaluation pipeline: shorter-side resize (the
+    train-time 256/224 ratio, ``train._resize_for_crop``) then center
+    crop.  Native fused JPEG path first, PIL replay for everything else
+    (PNG/BMP/WebP/CMYK/progressive); raises ``ValueError`` on bytes no
+    decoder accepts.
+    """
+    from .native.jpeg import decode_resize_crop, pil_replay
+    from .train import _resize_for_crop
+
+    if resize is None:
+        resize = _resize_for_crop(image_size)
+    out = decode_resize_crop(data, resize, image_size)
+    if out is not None:
+        return out
+    try:
+        return pil_replay(data, resize, image_size)
+    except Exception as exc:
+        raise ValueError(f"undecodable image: {exc}") from exc
+
+
+class ServerStats:
+    """Lock-protected serving counters (read back via ``GET /stats``)."""
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self.requests = 0
+        self.images = 0
+        self.batches = 0
+        self.errors = 0
+        self.max_batch = 0
+
+    def count_request(self, images: int = 1) -> None:
+        with self._lock:
+            self.requests += 1
+            self.images += images
+
+    def count_batch(self, size: int) -> None:
+        with self._lock:
+            self.batches += 1
+            self.max_batch = max(self.max_batch, size)
+
+    def count_error(self) -> None:
+        with self._lock:
+            self.errors += 1
+
+    def snapshot(self) -> dict:
+        with self._lock:
+            batches = self.batches
+            return {
+                "requests": self.requests,
+                "images": self.images,
+                "batches": batches,
+                "errors": self.errors,
+                "max_batch": self.max_batch,
+                "mean_batch": (self.images / batches) if batches else 0.0,
+            }
+
+
+class _Pending:
+    __slots__ = ("image", "event", "result", "error")
+
+    def __init__(self, image: np.ndarray):
+        self.image = image
+        self.event = threading.Event()
+        self.result = None
+        self.error: Optional[BaseException] = None
+
+
+class DynamicBatcher:
+    """Coalesce concurrent prediction requests into padded device batches.
+
+    ``submit_many`` enqueues decoded images and blocks until the batcher
+    thread has run them; images from different HTTP requests landing
+    within ``window_ms`` share one forward.  ``window_ms=0`` never
+    waits — it drains whatever is already queued (still coalescing
+    truly-simultaneous arrivals, adding zero latency).
+    """
+
+    _SHUTDOWN = object()
+
+    def __init__(self, predictor, max_batch: int = 64,
+                 window_ms: float = 2.0):
+        fixed = getattr(predictor, "_fixed_batch", None)
+        if fixed is not None:
+            # Fixed-batch artifacts accept exactly one shape; never
+            # assemble a batch the exported program cannot take.
+            max_batch = min(int(max_batch), int(fixed))
+        if max_batch < 1:
+            raise ValueError(f"max_batch must be >= 1, got {max_batch}")
+        self._predictor = predictor
+        self.max_batch = int(max_batch)
+        self.window = max(0.0, float(window_ms)) / 1000.0
+        self.stats = ServerStats()
+        self._q: "queue.Queue" = queue.Queue()
+        self._closed = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True,
+                                        name="osi-serve-batcher")
+        self._thread.start()
+
+    # -- client side --------------------------------------------------------
+    def submit_many(self, images) -> list:
+        """Blocking: returns ``[(prediction, score, features), ...]``."""
+        if self._closed.is_set():
+            raise RuntimeError("server is shutting down")
+        pendings = [_Pending(np.asarray(img, np.uint8)) for img in images]
+        for p in pendings:
+            self._q.put(p)
+        results = []
+        for p in pendings:
+            p.event.wait()
+            if p.error is not None:
+                raise p.error
+            results.append(p.result)
+        return results
+
+    def close(self) -> None:
+        if not self._closed.is_set():
+            self._closed.set()
+            self._q.put(self._SHUTDOWN)
+            self._thread.join()
+
+    # -- device side --------------------------------------------------------
+    def _gather(self, first) -> Optional[list]:
+        """First queue item -> a batch (None on shutdown sentinel)."""
+        if first is self._SHUTDOWN:
+            return None
+        batch = [first]
+        deadline = time.monotonic() + self.window
+        while len(batch) < self.max_batch:
+            timeout = deadline - time.monotonic()
+            try:
+                item = (self._q.get_nowait() if timeout <= 0
+                        else self._q.get(timeout=timeout))
+            except queue.Empty:
+                break
+            if item is self._SHUTDOWN:
+                # Serve what we have; the sentinel comes back around for
+                # the next loop iteration to exit on.
+                self._q.put(self._SHUTDOWN)
+                break
+            batch.append(item)
+        return batch
+
+    def _run(self) -> None:
+        while True:
+            batch = self._gather(self._q.get())
+            if batch is None:
+                return
+            try:
+                images = np.stack([p.image for p in batch])
+                preds, scores, feats = self._predictor.predict(
+                    images, return_features=True)
+                for i, p in enumerate(batch):
+                    p.result = (int(preds[i]), float(scores[i]),
+                                np.asarray(feats[i]))
+            except BaseException as exc:
+                for p in batch:
+                    p.error = exc
+            else:
+                self.stats.count_batch(len(batch))
+            finally:
+                for p in batch:
+                    p.event.set()
+
+
+class _Handler(BaseHTTPRequestHandler):
+    server_version = "osi-serve/1.0"
+    protocol_version = "HTTP/1.1"
+
+    # The default handler prints every request to stderr; serving logs go
+    # through the framework logger at debug level instead.
+    def log_message(self, fmt, *args):  # noqa: A002 - stdlib signature
+        self.server.log.debug("%s %s" % (self.address_string(),
+                                         fmt % args))
+
+    # -- plumbing -----------------------------------------------------------
+    def _send_json(self, code: int, payload: dict) -> None:
+        body = json.dumps(payload).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _error(self, code: int, message: str) -> None:
+        self.server.batcher.stats.count_error()
+        self._send_json(code, {"error": message})
+
+    # -- routes -------------------------------------------------------------
+    def do_GET(self):  # noqa: N802 - stdlib casing
+        path = urlsplit(self.path).path
+        if path == "/healthz":
+            p = self.server.predictor
+            self._send_json(200, {
+                "status": "ok",
+                "n_classes": p.n_classes,
+                "image_size": p.image_size,
+                "threshold": p.threshold,
+                "mode": p.mode,
+                "has_background": p.has_background,
+            })
+        elif path == "/stats":
+            self._send_json(200, self.server.batcher.stats.snapshot())
+        else:
+            self._error(404, f"no such route: {path}")
+
+    def do_POST(self):  # noqa: N802 - stdlib casing
+        url = urlsplit(self.path)
+        if url.path not in ("/v1/predict", "/predict"):
+            self._error(404, f"no such route: {url.path}")
+            return
+        try:
+            length = int(self.headers.get("Content-Length", "0"))
+        except ValueError:
+            self._error(400, "bad Content-Length")
+            return
+        if length <= 0:
+            self._error(400, "empty request body")
+            return
+        if length > MAX_BODY_BYTES:
+            self._error(413, f"body exceeds {MAX_BODY_BYTES} bytes")
+            return
+        body = self.rfile.read(length)
+        query = parse_qs(url.query)
+        want_features = query.get("features", ["0"])[-1].lower() in (
+            "1", "true", "yes")
+        ctype = self.headers.get("Content-Type", "").split(";")[0].strip()
+
+        batched = ctype == "application/json"
+        if batched:
+            try:
+                payload = json.loads(body)
+                blobs = [base64.b64decode(b, validate=True)
+                         for b in payload["images"]]
+            except Exception as exc:
+                self._error(400, f"bad JSON request: {exc}")
+                return
+        else:
+            blobs = [body]
+        try:
+            images = [decode_to_input(b, self.server.predictor.image_size,
+                                      self.server.resize) for b in blobs]
+        except ValueError as exc:
+            self._error(400, str(exc))
+            return
+
+        self.server.batcher.stats.count_request(len(images))
+        try:
+            results = self.server.batcher.submit_many(images)
+        except Exception as exc:
+            self._error(500, f"prediction failed: {exc}")
+            return
+        out = []
+        for pred, score, feats in results:
+            row = {"prediction": pred, "score": score,
+                   "rejected": pred == -1}
+            if want_features:
+                row["features"] = [float(v) for v in feats]
+            out.append(row)
+        self._send_json(200, {"results": out} if batched else out[0])
+
+
+class PredictionServer(ThreadingHTTPServer):
+    """HTTP serving daemon around an :class:`OpenSetPredictor`.
+
+    ``with PredictionServer(("127.0.0.1", 0), predictor) as srv:`` —
+    ``srv.server_address`` carries the bound port; drive traffic, then
+    ``srv.close()`` (or exit the ``with`` block after ``shutdown()``).
+    Handler threads are daemonic: a hung client never blocks shutdown.
+    """
+
+    daemon_threads = True
+
+    def __init__(self, address, predictor, max_batch: int = 64,
+                 window_ms: float = 2.0):
+        from .logger import configure_logger
+        from .train import _resize_for_crop
+
+        self.predictor = predictor
+        self.resize = _resize_for_crop(predictor.image_size)
+        self.batcher = DynamicBatcher(predictor, max_batch=max_batch,
+                                      window_ms=window_ms)
+        self.log = configure_logger()
+        self._serve_thread: Optional[threading.Thread] = None
+        super().__init__(address, _Handler)
+
+    def start(self) -> "PredictionServer":
+        """Serve in a background thread (the CLI's and tests' mode —
+        the caller's thread stays free for signal handling / asserts)."""
+        self._serve_thread = threading.Thread(
+            target=self.serve_forever, daemon=True, name="osi-serve-http")
+        self._serve_thread.start()
+        return self
+
+    def close(self) -> None:
+        """Stop accepting, drain the batcher, release the socket.
+
+        ``BaseServer.shutdown()`` blocks until a running ``serve_forever``
+        loop exits, so it is only issued when :meth:`start` launched one —
+        a constructed-but-never-started server closes without deadlock.
+        """
+        if self._serve_thread is not None and self._serve_thread.is_alive():
+            self.shutdown()
+            self._serve_thread.join()
+        self.batcher.close()
+        self.server_close()

@@ -1,0 +1,330 @@
+"""HTTP serving daemon: API round-trips, dynamic batching, error paths."""
+
+import base64
+import io
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+from openset_imagenet_tpu import train as engine
+from tests.test_engine import tiny_cfg, write_protocol_csvs
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    root = tmp_path_factory.mktemp("serve_http")
+    write_protocol_csvs(root)
+    cfg = tiny_cfg(root, "entropic", epochs=1)
+    engine.worker(cfg)
+    return root, cfg
+
+
+@pytest.fixture(scope="module")
+def predictor(trained):
+    from openset_imagenet_tpu.inference import OpenSetPredictor
+
+    root, cfg = trained
+    return OpenSetPredictor(cfg.output_directory / "entropic_best.pth",
+                            n_classes=3, variant="tiny", image_size=32)
+
+
+@pytest.fixture()
+def server(predictor):
+    from openset_imagenet_tpu.serve import PredictionServer
+
+    srv = PredictionServer(("127.0.0.1", 0), predictor,
+                           max_batch=8, window_ms=0.0).start()
+    yield srv
+    srv.close()
+
+
+def _url(server, path):
+    host, port = server.server_address[:2]
+    return f"http://{host}:{port}{path}"
+
+
+def _jpeg_bytes(seed: int) -> bytes:
+    from PIL import Image
+
+    rng = np.random.default_rng(seed)
+    buf = io.BytesIO()
+    Image.fromarray(rng.integers(0, 256, (32, 32, 3), np.uint8)).save(
+        buf, format="JPEG")
+    return buf.getvalue()
+
+
+def _post(server, body, content_type="application/octet-stream",
+          path="/v1/predict"):
+    req = urllib.request.Request(
+        _url(server, path), data=body, method="POST",
+        headers={"Content-Type": content_type})
+    with urllib.request.urlopen(req, timeout=30) as resp:
+        return json.loads(resp.read())
+
+
+def _predictor_reference(predictor, blob):
+    """What the offline predictor says about the same bytes."""
+    from openset_imagenet_tpu.serve import decode_to_input
+
+    img = decode_to_input(blob, predictor.image_size)
+    pred, score = predictor.predict(img[None])
+    return int(pred[0]), float(score[0])
+
+
+def test_healthz_reports_operating_point(server, predictor):
+    with urllib.request.urlopen(_url(server, "/healthz"), timeout=30) as r:
+        info = json.loads(r.read())
+    assert info == {
+        "status": "ok", "n_classes": 3, "image_size": 32,
+        "threshold": predictor.threshold, "mode": "softmax",
+        "has_background": False,
+    }
+
+
+def test_single_image_matches_offline_predictor(server, predictor):
+    blob = _jpeg_bytes(0)
+    out = _post(server, blob, "image/jpeg")
+    want_pred, want_score = _predictor_reference(predictor, blob)
+    assert out["prediction"] == want_pred
+    assert out["rejected"] is False
+    assert abs(out["score"] - want_score) < 1e-6
+    assert "features" not in out
+
+    # ?features=1 returns the deep-feature vector of the serving forward.
+    out = _post(server, blob, "image/jpeg", path="/v1/predict?features=1")
+    assert len(out["features"]) == 3
+    img = __import__(
+        "openset_imagenet_tpu.serve", fromlist=["decode_to_input"]
+    ).decode_to_input(blob, predictor.image_size)
+    _, _, feats = predictor.predict(img[None], return_features=True)
+    np.testing.assert_allclose(out["features"], feats[0], rtol=1e-5,
+                               atol=1e-7)
+
+
+def test_json_batch_matches_offline_predictor(server, predictor):
+    blobs = [_jpeg_bytes(i) for i in range(3)]
+    body = json.dumps(
+        {"images": [base64.b64encode(b).decode() for b in blobs]}).encode()
+    out = _post(server, body, "application/json")
+    assert len(out["results"]) == 3
+    for blob, row in zip(blobs, out["results"]):
+        want_pred, want_score = _predictor_reference(predictor, blob)
+        assert row["prediction"] == want_pred
+        assert abs(row["score"] - want_score) < 1e-6
+
+
+def test_rejection_is_served(predictor):
+    """A threshold no softmax can reach marks everything rejected (-1)."""
+    from openset_imagenet_tpu.serve import PredictionServer
+
+    old = predictor.threshold
+    predictor.threshold = 1.1
+    srv = PredictionServer(("127.0.0.1", 0), predictor,
+                           max_batch=4, window_ms=0.0).start()
+    try:
+        out = _post(srv, _jpeg_bytes(1), "image/jpeg")
+        assert out["prediction"] == -1
+        assert out["rejected"] is True
+    finally:
+        srv.close()
+        predictor.threshold = old
+
+
+def test_error_paths(server):
+    # Undecodable image -> 400 with a JSON error body.
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server, b"not an image at all", "image/jpeg")
+    assert e.value.code == 400
+    assert "error" in json.loads(e.value.read())
+
+    # Bad JSON / bad base64 -> 400.
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server, b"{broken", "application/json")
+    assert e.value.code == 400
+    body = json.dumps({"images": ["!!!not-base64!!!"]}).encode()
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server, body, "application/json")
+    assert e.value.code == 400
+
+    # Unknown route -> 404; empty body -> 400.
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server, _jpeg_bytes(0), "image/jpeg", path="/nope")
+    assert e.value.code == 404
+    req = urllib.request.Request(_url(server, "/v1/predict"), data=b"",
+                                 method="POST")
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=30)
+    assert e.value.code == 400
+
+    # Errors are counted, and the batcher still serves afterwards.
+    with urllib.request.urlopen(_url(server, "/stats"), timeout=30) as r:
+        assert json.loads(r.read())["errors"] >= 4
+    assert "prediction" in _post(server, _jpeg_bytes(2), "image/jpeg")
+
+
+def test_dynamic_batching_coalesces_concurrent_requests(predictor):
+    """Concurrent requests share device forwards: batches < images, and
+    every response still matches the offline predictor."""
+    from openset_imagenet_tpu.serve import PredictionServer
+
+    srv = PredictionServer(("127.0.0.1", 0), predictor,
+                           max_batch=8, window_ms=250.0).start()
+    try:
+        blobs = [_jpeg_bytes(i) for i in range(8)]
+        want = [_predictor_reference(predictor, b) for b in blobs]
+        results = [None] * len(blobs)
+
+        def hit(i):
+            results[i] = _post(srv, blobs[i], "image/jpeg")
+
+        threads = [threading.Thread(target=hit, args=(i,))
+                   for i in range(len(blobs))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for got, (pred, score) in zip(results, want):
+            assert got["prediction"] == pred
+            assert abs(got["score"] - score) < 1e-6
+        stats = srv.batcher.stats.snapshot()
+        assert stats["images"] == len(blobs)
+        assert stats["batches"] < len(blobs)  # coalescing happened
+        assert stats["mean_batch"] > 1.0
+    finally:
+        srv.close()
+
+
+def test_batcher_clamps_to_fixed_batch_artifact():
+    """A fixed-batch artifact bounds the coalesced batch size."""
+    from openset_imagenet_tpu.serve import DynamicBatcher
+
+    class Fixed:
+        _fixed_batch = 4
+
+        def predict(self, images, return_features=False):
+            n = len(images)
+            return (np.zeros(n, int), np.ones(n, np.float32),
+                    np.zeros((n, 3), np.float32))
+
+    b = DynamicBatcher(Fixed(), max_batch=64, window_ms=0.0)
+    try:
+        assert b.max_batch == 4
+        out = b.submit_many([np.zeros((8, 8, 3), np.uint8)] * 6)
+        assert len(out) == 6
+        assert b.stats.snapshot()["max_batch"] <= 4
+    finally:
+        b.close()
+
+
+def test_batcher_propagates_predict_errors_and_recovers():
+    from openset_imagenet_tpu.serve import DynamicBatcher
+
+    class Flaky:
+        calls = 0
+
+        def predict(self, images, return_features=False):
+            Flaky.calls += 1
+            if Flaky.calls == 1:
+                raise RuntimeError("boom")
+            n = len(images)
+            return (np.zeros(n, int), np.ones(n, np.float32),
+                    np.zeros((n, 2), np.float32))
+
+    b = DynamicBatcher(Flaky(), max_batch=4, window_ms=0.0)
+    try:
+        img = np.zeros((8, 8, 3), np.uint8)
+        with pytest.raises(RuntimeError, match="boom"):
+            b.submit_many([img])
+        assert b.submit_many([img])[0][0] == 0  # next batch still serves
+    finally:
+        b.close()
+    with pytest.raises(RuntimeError, match="shutting down"):
+        b.submit_many([np.zeros((8, 8, 3), np.uint8)])
+
+
+def test_serve_cli_args():
+    from openset_imagenet_tpu.script.serve import get_args
+
+    args = get_args(["model.pth", "auto", "--port", "0",
+                     "--batch-window-ms", "5"])
+    assert args.n_classes is None
+    assert args.batch_window_ms == 5.0
+    with pytest.raises(SystemExit):
+        get_args(["model.pth", "3", "--gpu", "0", "--devices", "2"])
+    with pytest.raises(SystemExit):
+        get_args(["model.pth", "3", "--threshold-at-fpr", "0.01"])
+
+
+def test_serve_cli_end_to_end(trained):
+    """The daemon's full lifecycle through the console entry point:
+    start -> healthz -> predict -> SIGTERM -> clean exit 0."""
+    import os
+    import re
+    import signal
+    import subprocess
+    import sys
+
+    root, cfg = trained
+    ckpt = cfg.output_directory / "entropic_best.pth"
+    env = {**os.environ, "OSI_JAX_PLATFORM": "cpu"}
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "openset_imagenet_tpu.script.serve",
+         str(ckpt), "auto", "--port", "0", "--model-variant", "tiny",
+         "--image-size", "32", "--max-batch", "4", "--host", "127.0.0.1"],
+        env=env, stderr=subprocess.PIPE, text=True)
+    lines = []
+    try:
+        url = None
+        while True:  # start-up log line carries the bound port
+            line = proc.stderr.readline()
+            if not line:
+                pytest.fail("server exited before start-up:\n"
+                            + "".join(lines))
+            lines.append(line)
+            m = re.search(r"http://127\.0\.0\.1:(\d+)", line)
+            if m:
+                url = f"http://127.0.0.1:{m.group(1)}"
+                break
+        with urllib.request.urlopen(url + "/healthz", timeout=30) as r:
+            assert json.loads(r.read())["status"] == "ok"
+        req = urllib.request.Request(
+            url + "/v1/predict", data=_jpeg_bytes(3), method="POST",
+            headers={"Content-Type": "image/jpeg"})
+        with urllib.request.urlopen(req, timeout=60) as r:
+            out = json.loads(r.read())
+        assert out["prediction"] in (0, 1, 2)
+    finally:
+        proc.send_signal(signal.SIGTERM)
+        try:
+            proc.wait(timeout=60)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            proc.wait()
+        proc.stderr.close()
+    assert proc.returncode == 0
+
+
+def test_decode_to_input_matches_eval_geometry(trained, tmp_path):
+    """Served bytes decode exactly like the evaluation reader reads the
+    same file from disk (shorter-side resize + center crop)."""
+    from PIL import Image
+
+    from openset_imagenet_tpu.config import NameSpace
+    from openset_imagenet_tpu.serve import decode_to_input
+
+    rng = np.random.default_rng(7)
+    path = tmp_path / "img.jpg"
+    Image.fromarray(rng.integers(0, 256, (48, 40, 3), np.uint8)).save(
+        path, format="JPEG", quality=95)
+    reader = engine._make_reader(
+        NameSpace({"data": {"reader": "auto"}, "seed": 0}), crop=32)
+    if hasattr(reader, "read_batch"):
+        want = reader.read_batch([str(path)], [None])[0]
+    else:
+        want = reader(str(path), None)
+    got = decode_to_input(path.read_bytes(), 32)
+    np.testing.assert_array_equal(got, want)
