@@ -129,8 +129,9 @@ def main(argv=None):
                               max_batch=args.max_batch,
                               window_ms=args.batch_window_ms)
     stop = threading.Event()
-    for sig in (signal.SIGINT, signal.SIGTERM):
-        signal.signal(sig, lambda *_: stop.set())
+    if threading.current_thread() is threading.main_thread():
+        for sig in (signal.SIGINT, signal.SIGTERM):
+            signal.signal(sig, lambda *_: stop.set())
     server.start()
     host, port = server.server_address[:2]
     log.info(f"serving {args.checkpoint} on http://{host}:{port} "

@@ -332,6 +332,10 @@ class PredictionServer(ThreadingHTTPServer):
     """
 
     daemon_threads = True
+    # socketserver's default listen backlog is 5: a burst of simultaneous
+    # connects (exactly the load dynamic batching exists for) would get
+    # connection-reset before the accept loop ever saw them.
+    request_queue_size = 128
 
     def __init__(self, address, predictor, max_batch: int = 64,
                  window_ms: float = 2.0):
@@ -340,11 +344,12 @@ class PredictionServer(ThreadingHTTPServer):
 
         self.predictor = predictor
         self.resize = _resize_for_crop(predictor.image_size)
-        self.batcher = DynamicBatcher(predictor, max_batch=max_batch,
-                                      window_ms=window_ms)
         self.log = configure_logger()
         self._serve_thread: Optional[threading.Thread] = None
+        # Bind first: a port-in-use failure must not leak a batcher thread.
         super().__init__(address, _Handler)
+        self.batcher = DynamicBatcher(predictor, max_batch=max_batch,
+                                      window_ms=window_ms)
 
     def start(self) -> "PredictionServer":
         """Serve in a background thread (the CLI's and tests' mode —
@@ -364,5 +369,6 @@ class PredictionServer(ThreadingHTTPServer):
         if self._serve_thread is not None and self._serve_thread.is_alive():
             self.shutdown()
             self._serve_thread.join()
-        self.batcher.close()
+        if getattr(self, "batcher", None) is not None:  # init may have raised
+            self.batcher.close()
         self.server_close()

@@ -198,6 +198,37 @@ def test_dynamic_batching_coalesces_concurrent_requests(predictor):
         srv.close()
 
 
+def test_connection_burst_survives_listen_backlog(predictor):
+    """64 simultaneous connects: socketserver's default backlog of 5
+    would reset most of them (found by tools/bench_serve.py on-chip);
+    PredictionServer.request_queue_size must absorb the burst."""
+    from openset_imagenet_tpu.serve import PredictionServer
+
+    srv = PredictionServer(("127.0.0.1", 0), predictor,
+                           max_batch=8, window_ms=0.0).start()
+    barrier = threading.Barrier(64)
+    errors = []
+
+    def hit(i):
+        try:
+            barrier.wait(timeout=60)
+            _post(srv, _jpeg_bytes(i), "image/jpeg")
+        except Exception as exc:
+            errors.append(exc)
+
+    try:
+        threads = [threading.Thread(target=hit, args=(i,))
+                   for i in range(64)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errors, errors[:3]
+        assert srv.batcher.stats.snapshot()["images"] == 64
+    finally:
+        srv.close()
+
+
 def test_batcher_clamps_to_fixed_batch_artifact():
     """A fixed-batch artifact bounds the coalesced batch size."""
     from openset_imagenet_tpu.serve import DynamicBatcher

@@ -1,0 +1,153 @@
+"""HTTP serving daemon benchmark: throughput vs client concurrency.
+
+End-to-end measurement of ``serve_imagenet``'s machinery on the real
+chip (or CPU with ``OSI_JAX_PLATFORM=cpu``): a PredictionServer on
+loopback, K client threads each POSTing its share of in-memory JPEGs
+sequentially (a closed-loop load generator).  With one client the
+daemon degenerates to latency-bound batch-1 forwards; with concurrent
+clients the dynamic batcher coalesces requests into padded device
+batches — the measured ``mean_batch`` shows exactly how much.
+
+Through the dev tunnel both the per-dispatch round-trip (~10s of ms)
+and the host->device transfer (~42 MB/s) are part of every request, so
+absolute numbers here are LOWER bounds on production throughput; the
+concurrency-scaling *ratio* is the portable result.
+
+Prints one JSON line per client count plus a summary line.
+"""
+
+import argparse
+import io
+import json
+import sys
+import tempfile
+import threading
+import time
+import urllib.request
+from pathlib import Path
+
+import numpy as np
+
+
+def make_blobs(n_images: int, size: int, rng) -> list:
+    from PIL import Image
+
+    blobs = []
+    for _ in range(n_images):
+        color = rng.integers(0, 256, 3)
+        arr = np.clip(rng.normal(0, 18, (size, size, 3)) + color, 0, 255)
+        buf = io.BytesIO()
+        Image.fromarray(arr.astype(np.uint8)).save(buf, format="JPEG",
+                                                   quality=92)
+        blobs.append(buf.getvalue())
+    return blobs
+
+
+def make_checkpoint(root: Path, n_classes: int, variant: str,
+                    image_size: int) -> Path:
+    import jax
+    import optax
+
+    from openset_imagenet_tpu import train as engine
+    from openset_imagenet_tpu.checkpoint import save_checkpoint
+    from openset_imagenet_tpu.config import NameSpace
+
+    cfg = NameSpace({"model": {"variant": variant}, "seed": 0, "data": {}})
+    model = engine.build_model(cfg, n_classes)
+    state = engine.create_state(model, jax.random.PRNGKey(0),
+                                optax.identity(), image_size=image_size)
+    ck = root / "bench_curr.pth"
+    save_checkpoint(ck, state, epoch=0, best_score=0.0)
+    return ck
+
+
+def run_load(server, blobs, n_clients: int) -> dict:
+    """Closed-loop: each client POSTs its share sequentially."""
+    host, port = server.server_address[:2]
+    url = f"http://{host}:{port}/v1/predict"
+    shares = [blobs[i::n_clients] for i in range(n_clients)]
+    errors = []
+
+    def client(share):
+        try:
+            for blob in share:
+                req = urllib.request.Request(
+                    url, data=blob, method="POST",
+                    headers={"Content-Type": "image/jpeg"})
+                with urllib.request.urlopen(req, timeout=600) as resp:
+                    json.loads(resp.read())
+        except Exception as exc:  # surfaces in the summary, fails the run
+            errors.append(exc)
+
+    threads = [threading.Thread(target=client, args=(s,)) for s in shares]
+    t0 = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    dt = time.perf_counter() - t0
+    if errors:
+        raise errors[0]
+    stats = server.batcher.stats.snapshot()
+    return {"clients": n_clients, "images": len(blobs), "seconds": dt,
+            "imgs_per_sec": len(blobs) / dt,
+            "mean_batch": stats["mean_batch"],
+            "max_batch": stats["max_batch"]}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--clients", default="1,4,16",
+                    help="comma list of concurrent client counts")
+    ap.add_argument("--images", type=int, default=256,
+                    help="total images per load point")
+    ap.add_argument("--image-size", type=int, default=224)
+    ap.add_argument("--source-size", type=int, default=256)
+    ap.add_argument("--n-classes", type=int, default=116)
+    ap.add_argument("--variant", default="resnet50")
+    ap.add_argument("--max-batch", type=int, default=64)
+    ap.add_argument("--window-ms", type=float, default=5.0)
+    args = ap.parse_args()
+
+    from openset_imagenet_tpu.inference import OpenSetPredictor
+    from openset_imagenet_tpu.serve import PredictionServer
+
+    rng = np.random.default_rng(0)
+    blobs = make_blobs(args.images, args.source_size, rng)
+    with tempfile.TemporaryDirectory() as td:
+        ck = make_checkpoint(Path(td), args.n_classes, args.variant,
+                             args.image_size)
+        predictor = OpenSetPredictor(ck, n_classes=args.n_classes,
+                                     variant=args.variant,
+                                     image_size=args.image_size,
+                                     threshold=0.5)
+        print("warming up buckets ...", file=sys.stderr)
+        predictor.warmup(args.max_batch)
+
+        results = []
+        for n_clients in [int(c) for c in args.clients.split(",")]:
+            server = PredictionServer(("127.0.0.1", 0), predictor,
+                                      max_batch=args.max_batch,
+                                      window_ms=args.window_ms).start()
+            try:
+                run_load(server, blobs[: max(8, args.images // 8)],
+                         n_clients)  # untimed ramp per load point
+                res = run_load(server, blobs, n_clients)
+            finally:
+                server.close()
+            print(json.dumps(res))
+            results.append(res)
+        base = results[0]["imgs_per_sec"]
+        best = max(results, key=lambda r: r["imgs_per_sec"])
+        print(json.dumps({
+            "summary": "serve_http",
+            "image_size": args.image_size,
+            "window_ms": args.window_ms,
+            "best_imgs_per_sec": best["imgs_per_sec"],
+            "best_clients": best["clients"],
+            "scaling_vs_1_client": best["imgs_per_sec"] / base,
+        }))
+
+
+if __name__ == "__main__":
+    main()
