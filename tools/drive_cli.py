@@ -12,6 +12,9 @@ reference user runs, plus the multi-host launcher:
   3. launch_imagenet     — the same train+evaluate under a REAL 2-process
                            jax.distributed cluster (skip with --skip-mp)
   4. predict_imagenet    — serving CLI on a directory of raw images
+                           (+ FPR calibration, export_imagenet artifact,
+                           bundle 'auto', and the serve_imagenet HTTP
+                           daemon reproducing the artifact predictions)
   5. plot_imagenet       — OSCR/confidence PDF + LaTeX table
   6. a learning bar: known-class test accuracy >= --min-acc
 
@@ -323,6 +326,52 @@ output_directory: {out}
         [pred_base[0], artifact, "auto", dog_dir, "--batch-size", "8",
          "-o", auto_csv], env, root)
     assert auto_csv.read_text() == art_csv.read_text()
+
+    # 4e. online serving daemon: the HTTP API on the same bundle must
+    # reproduce the artifact-serving predictions (same program, same
+    # decode path), then shut down cleanly on SIGTERM.
+    import re
+    import signal as _signal
+    import urllib.request
+
+    serve_cmd = [sys.executable, "-m",
+                 "openset_imagenet_tpu.script.serve", str(artifact),
+                 "auto", "--port", "0", "--max-batch", "8",
+                 "--host", "127.0.0.1"]
+    print(f"--- serve: {' '.join(serve_cmd[2:])}", flush=True)
+    sp = subprocess.Popen(serve_cmd, env=env, cwd=root,
+                          stderr=subprocess.PIPE, text=True)
+    try:
+        url, startup = None, []
+        for line in sp.stderr:
+            startup.append(line)
+            m = re.search(r"http://127\.0\.0\.1:(\d+)", line)
+            if m:
+                url = f"http://127.0.0.1:{m.group(1)}"
+                break
+        assert url, "serve daemon never reported its port:\n" \
+            + "".join(startup)
+        served = []
+        for pth in sorted(dog_dir.glob("*.JPEG")):
+            req = urllib.request.Request(
+                url + "/v1/predict", data=pth.read_bytes(),
+                method="POST", headers={"Content-Type": "image/jpeg"})
+            with urllib.request.urlopen(req, timeout=300) as r:
+                served.append(json.loads(r.read())["prediction"])
+        # batch-1 daemon forwards vs the CLI's batch-8 bucket are
+        # independently compiled bf16 programs: same one-flip slack as 4c.
+        serve_flips = sum(a != p for a, p in zip(art_preds, served))
+        assert len(served) == len(art_preds) and serve_flips <= 1, \
+            (served, art_preds)
+    finally:
+        sp.send_signal(_signal.SIGTERM)
+        try:
+            sp.wait(timeout=120)
+        except subprocess.TimeoutExpired:
+            sp.kill()
+            sp.wait()
+        sp.stderr.close()
+    assert sp.returncode == 0, f"serve daemon exited rc={sp.returncode}"
 
     # 5. plot
     run("plot", ["openset_imagenet_tpu.script.plot_all",
