@@ -185,6 +185,10 @@ def infer_n_classes(checkpoint) -> int:
             payload = serialization.msgpack_restore(f.read())
         return int(np.shape(
             payload["model_state_dict"]["logits"]["kernel"])[-1])
+    except FileNotFoundError:
+        # A missing file is not a format problem — the "pass n_classes
+        # explicitly" advice below would point the user at the wrong fix.
+        raise
     except Exception:
         try:
             import torch

@@ -54,6 +54,10 @@ from urllib.parse import parse_qs, urlsplit
 import numpy as np
 
 MAX_BODY_BYTES = 128 * 1024 * 1024  # reject absurd uploads before reading
+# Decoded images are held in host RAM between decode and forward; cap the
+# per-request count so one well-formed JSON batch cannot exhaust memory
+# (1024 x 224x224x3 uint8 ~= 154 MB decoded).
+MAX_IMAGES_PER_REQUEST = 1024
 
 
 def decode_to_input(data: bytes, image_size: int,
@@ -105,6 +109,13 @@ class ServerStats:
         with self._lock:
             self.errors += 1
 
+    def reset(self) -> None:
+        """Zero every counter (benchmarks reset between warm-up and
+        timed load so ``mean_batch`` reflects only the measured run)."""
+        with self._lock:
+            self.requests = self.images = 0
+            self.batches = self.errors = self.max_batch = 0
+
     def snapshot(self) -> dict:
         with self._lock:
             batches = self.batches
@@ -155,6 +166,11 @@ class DynamicBatcher:
         self.stats = ServerStats()
         self._q: "queue.Queue" = queue.Queue()
         self._closed = threading.Event()
+        # Serialises enqueues against close(): the shutdown sentinel is
+        # guaranteed to land AFTER every accepted request's pendings, so
+        # nothing the batcher thread ever dequeues post-sentinel is a
+        # live request (submit_many after close raises instead).
+        self._submit_lock = threading.Lock()
         self._thread = threading.Thread(target=self._run, daemon=True,
                                         name="osi-serve-batcher")
         self._thread.start()
@@ -162,11 +178,12 @@ class DynamicBatcher:
     # -- client side --------------------------------------------------------
     def submit_many(self, images) -> list:
         """Blocking: returns ``[(prediction, score, features), ...]``."""
-        if self._closed.is_set():
-            raise RuntimeError("server is shutting down")
         pendings = [_Pending(np.asarray(img, np.uint8)) for img in images]
-        for p in pendings:
-            self._q.put(p)
+        with self._submit_lock:
+            if self._closed.is_set():
+                raise RuntimeError("server is shutting down")
+            for p in pendings:
+                self._q.put(p)
         results = []
         for p in pendings:
             p.event.wait()
@@ -176,10 +193,23 @@ class DynamicBatcher:
         return results
 
     def close(self) -> None:
-        if not self._closed.is_set():
+        with self._submit_lock:
+            if self._closed.is_set():
+                return
             self._closed.set()
             self._q.put(self._SHUTDOWN)
-            self._thread.join()
+        self._thread.join()
+        # Defensive: fail-fast anything still queued (cannot happen with
+        # the submit lock honoured, but an abandoned pending would hang
+        # its handler thread forever).
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if isinstance(item, _Pending):
+                item.error = RuntimeError("server is shutting down")
+                item.event.set()
 
     # -- device side --------------------------------------------------------
     def _gather(self, first) -> Optional[list]:
@@ -274,12 +304,18 @@ class _Handler(BaseHTTPRequestHandler):
         try:
             length = int(self.headers.get("Content-Length", "0"))
         except ValueError:
+            # Responding without reading the body would leave its bytes
+            # on the keep-alive socket to be parsed as the next request
+            # line; drop the connection on every pre-read error path.
+            self.close_connection = True
             self._error(400, "bad Content-Length")
             return
         if length <= 0:
+            self.close_connection = True
             self._error(400, "empty request body")
             return
         if length > MAX_BODY_BYTES:
+            self.close_connection = True
             self._error(413, f"body exceeds {MAX_BODY_BYTES} bytes")
             return
         body = self.rfile.read(length)
@@ -296,6 +332,10 @@ class _Handler(BaseHTTPRequestHandler):
                          for b in payload["images"]]
             except Exception as exc:
                 self._error(400, f"bad JSON request: {exc}")
+                return
+            if len(blobs) > MAX_IMAGES_PER_REQUEST:
+                self._error(413, f"request carries {len(blobs)} images; "
+                                 f"limit is {MAX_IMAGES_PER_REQUEST}")
                 return
         else:
             blobs = [body]

@@ -241,8 +241,8 @@ def test_save_exported_without_meta_removes_stale_sidecar(trained,
 
 def test_predict_cli_auto_serves_bundle(trained, tmp_path):
     """predict_imagenet <artifact> auto <imgs>: no geometry, no serving
-    flags — everything resolves from the bundle; a .pth with 'auto' is
-    refused up front."""
+    flags — everything resolves from the bundle; 'auto' on a raw .pth
+    infers n_classes from the checkpoint's logits head."""
     import csv
 
     from PIL import Image

@@ -166,6 +166,75 @@ def test_error_paths(server):
     assert "prediction" in _post(server, _jpeg_bytes(2), "image/jpeg")
 
 
+def test_oversized_body_closes_keepalive_connection(server, monkeypatch):
+    """413 without reading the body must drop the connection: leaving
+    the unread bytes on a keep-alive socket would make the next request
+    parse the image payload as an HTTP request line."""
+    import socket
+
+    from openset_imagenet_tpu import serve as serve_mod
+
+    monkeypatch.setattr(serve_mod, "MAX_BODY_BYTES", 64)
+    host, port = server.server_address[:2]
+    body = b"\xff" * 256  # > patched cap, never read by the server
+    head = (f"POST /v1/predict HTTP/1.1\r\nHost: {host}\r\n"
+            f"Content-Type: image/jpeg\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n").encode()
+    with socket.create_connection((host, port), timeout=30) as s:
+        s.sendall(head + body)
+        s.settimeout(30)
+        data = b""
+        while b"\r\n\r\n" not in data:
+            chunk = s.recv(4096)
+            assert chunk, f"connection died before a status line: {data!r}"
+            data += chunk
+        assert b" 413 " in data.split(b"\r\n", 1)[0]
+        # The server must now close (EOF or reset) rather than try to
+        # parse the 256 unread body bytes as a second request.
+        try:
+            while s.recv(4096):
+                pass
+        except ConnectionError:
+            pass
+
+
+def test_json_batch_image_count_is_capped(server, monkeypatch):
+    from openset_imagenet_tpu import serve as serve_mod
+
+    monkeypatch.setattr(serve_mod, "MAX_IMAGES_PER_REQUEST", 4)
+    blob64 = base64.b64encode(_jpeg_bytes(0)).decode()
+    body = json.dumps({"images": [blob64] * 5}).encode()
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server, body, "application/json")
+    assert e.value.code == 413
+    assert "limit is 4" in json.loads(e.value.read())["error"]
+    # At the cap it still serves.
+    body = json.dumps({"images": [blob64] * 4}).encode()
+    assert len(_post(server, body, "application/json")["results"]) == 4
+
+
+def test_submit_after_close_raises_not_hangs(predictor):
+    from openset_imagenet_tpu.serve import DynamicBatcher
+
+    b = DynamicBatcher(predictor, max_batch=4, window_ms=0.0)
+    b.close()
+    with pytest.raises(RuntimeError, match="shutting down"):
+        b.submit_many([np.zeros((32, 32, 3), np.uint8)])
+    b.close()  # idempotent
+
+
+def test_stats_reset_zeroes_counters():
+    from openset_imagenet_tpu.serve import ServerStats
+
+    st = ServerStats()
+    st.count_request(3)
+    st.count_batch(3)
+    st.count_error()
+    st.reset()
+    snap = st.snapshot()
+    assert all(v == 0 for v in snap.values())
+
+
 def test_dynamic_batching_coalesces_concurrent_requests(predictor):
     """Concurrent requests share device forwards: batches < images, and
     every response still matches the offline predictor."""
@@ -288,6 +357,42 @@ def test_serve_cli_args():
         get_args(["model.pth", "3", "--gpu", "0", "--devices", "2"])
     with pytest.raises(SystemExit):
         get_args(["model.pth", "3", "--threshold-at-fpr", "0.01"])
+
+
+def test_daemon_over_device_mesh_matches_single_device(trained, predictor):
+    """Data-parallel serving through the daemon: an 8-device mesh
+    predictor behind HTTP returns exactly the single-device answers
+    (the batcher's coalesced batches pad to the mesh's bucket unit)."""
+    from openset_imagenet_tpu.inference import OpenSetPredictor
+    from openset_imagenet_tpu.parallel.mesh import make_mesh
+    from openset_imagenet_tpu.serve import PredictionServer
+
+    root, cfg = trained
+    sharded = OpenSetPredictor(cfg.output_directory / "entropic_best.pth",
+                               n_classes=3, variant="tiny", image_size=32,
+                               mesh=make_mesh(num_devices=8))
+    srv = PredictionServer(("127.0.0.1", 0), sharded,
+                           max_batch=8, window_ms=100.0).start()
+    try:
+        blobs = [_jpeg_bytes(i) for i in range(5)]  # ragged vs 8 devices
+        results = [None] * len(blobs)
+
+        def hit(i):
+            results[i] = _post(srv, blobs[i], "image/jpeg")
+
+        threads = [threading.Thread(target=hit, args=(i,))
+                   for i in range(len(blobs))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for blob, got in zip(blobs, results):
+            pred, score = _predictor_reference(predictor, blob)
+            assert got["prediction"] == pred
+            assert abs(got["score"] - score) < 1e-5
+        assert srv.batcher.stats.snapshot()["batches"] < len(blobs)
+    finally:
+        srv.close()
 
 
 def test_serve_cli_end_to_end(trained):

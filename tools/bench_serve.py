@@ -132,6 +132,9 @@ def main():
             try:
                 run_load(server, blobs[: max(8, args.images // 8)],
                          n_clients)  # untimed ramp per load point
+                # The ramp shares the server's counters; zero them so the
+                # reported mean_batch/max_batch cover only the timed run.
+                server.batcher.stats.reset()
                 res = run_load(server, blobs, n_clients)
             finally:
                 server.close()
