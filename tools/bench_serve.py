@@ -67,6 +67,7 @@ def run_load(server, blobs, n_clients: int) -> dict:
     url = f"http://{host}:{port}/v1/predict"
     shares = [blobs[i::n_clients] for i in range(n_clients)]
     errors = []
+    latencies = []  # per-request wall seconds; list.append is GIL-atomic
 
     def client(share):
         try:
@@ -74,8 +75,10 @@ def run_load(server, blobs, n_clients: int) -> dict:
                 req = urllib.request.Request(
                     url, data=blob, method="POST",
                     headers={"Content-Type": "image/jpeg"})
+                t_req = time.perf_counter()
                 with urllib.request.urlopen(req, timeout=600) as resp:
                     json.loads(resp.read())
+                latencies.append(time.perf_counter() - t_req)
         except Exception as exc:  # surfaces in the summary, fails the run
             errors.append(exc)
 
@@ -89,8 +92,12 @@ def run_load(server, blobs, n_clients: int) -> dict:
     if errors:
         raise errors[0]
     stats = server.batcher.stats.snapshot()
+    lat_ms = np.sort(np.array(latencies)) * 1e3
     return {"clients": n_clients, "images": len(blobs), "seconds": dt,
             "imgs_per_sec": len(blobs) / dt,
+            "latency_ms_p50": float(np.percentile(lat_ms, 50)),
+            "latency_ms_p95": float(np.percentile(lat_ms, 95)),
+            "latency_ms_p99": float(np.percentile(lat_ms, 99)),
             "mean_batch": stats["mean_batch"],
             "max_batch": stats["max_batch"]}
 
