@@ -61,24 +61,43 @@ def make_checkpoint(root: Path, n_classes: int, variant: str,
     return ck
 
 
-def run_load(server, blobs, n_clients: int) -> dict:
-    """Closed-loop: each client POSTs its share sequentially."""
+def run_load(server, blobs, n_clients: int,
+             request_batch: int = 1) -> dict:
+    """Closed-loop: each client POSTs its share sequentially.
+
+    ``request_batch > 1`` switches clients to the JSON bulk endpoint
+    (``{"images": [<base64>, ...]}``, N images per POST) — the
+    amortised-round-trip mode a throughput-oriented client would use.
+    """
+    import base64
+
     host, port = server.server_address[:2]
     url = f"http://{host}:{port}/v1/predict"
     shares = [blobs[i::n_clients] for i in range(n_clients)]
     errors = []
     latencies = []  # per-request wall seconds; list.append is GIL-atomic
 
+    def post(data, content_type):
+        req = urllib.request.Request(
+            url, data=data, method="POST",
+            headers={"Content-Type": content_type})
+        t_req = time.perf_counter()
+        with urllib.request.urlopen(req, timeout=600) as resp:
+            json.loads(resp.read())
+        latencies.append(time.perf_counter() - t_req)
+
     def client(share):
         try:
-            for blob in share:
-                req = urllib.request.Request(
-                    url, data=blob, method="POST",
-                    headers={"Content-Type": "image/jpeg"})
-                t_req = time.perf_counter()
-                with urllib.request.urlopen(req, timeout=600) as resp:
-                    json.loads(resp.read())
-                latencies.append(time.perf_counter() - t_req)
+            if request_batch <= 1:
+                for blob in share:
+                    post(blob, "image/jpeg")
+            else:
+                for i in range(0, len(share), request_batch):
+                    chunk = share[i:i + request_batch]
+                    body = json.dumps({"images": [
+                        base64.b64encode(b).decode() for b in chunk
+                    ]}).encode()
+                    post(body, "application/json")
         except Exception as exc:  # surfaces in the summary, fails the run
             errors.append(exc)
 
@@ -114,6 +133,9 @@ def main():
     ap.add_argument("--variant", default="resnet50")
     ap.add_argument("--max-batch", type=int, default=64)
     ap.add_argument("--window-ms", type=float, default=5.0)
+    ap.add_argument("--request-batch", type=int, default=1,
+                    help="images per POST: 1 = raw single-image bodies, "
+                         ">1 = the JSON bulk endpoint")
     args = ap.parse_args()
 
     from openset_imagenet_tpu.inference import OpenSetPredictor
@@ -138,11 +160,12 @@ def main():
                                       window_ms=args.window_ms).start()
             try:
                 run_load(server, blobs[: max(8, args.images // 8)],
-                         n_clients)  # untimed ramp per load point
+                         n_clients, args.request_batch)  # untimed ramp
                 # The ramp shares the server's counters; zero them so the
                 # reported mean_batch/max_batch cover only the timed run.
                 server.batcher.stats.reset()
-                res = run_load(server, blobs, n_clients)
+                res = run_load(server, blobs, n_clients,
+                               args.request_batch)
             finally:
                 server.close()
             print(json.dumps(res))
@@ -153,6 +176,7 @@ def main():
             "summary": "serve_http",
             "image_size": args.image_size,
             "window_ms": args.window_ms,
+            "request_batch": args.request_batch,
             "best_imgs_per_sec": best["imgs_per_sec"],
             "best_clients": best["clients"],
             "scaling_vs_1_client": best["imgs_per_sec"] / base,
