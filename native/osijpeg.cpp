@@ -366,6 +366,51 @@ int osi_decode_batch(const char** paths, int n, const float* utop,
   return failures.load();
 }
 
+// In-memory batch variant: same fused decode + thread pool as
+// osi_decode_batch, but over caller-held JPEG buffers instead of file
+// paths (the serving daemon's bulk endpoint holds request bodies in
+// RAM; writing temp files just to decode them would serialize on the
+// filesystem).  Center crops only when utop/uleft are null, like the
+// file variant.  ok[i] = 1 on success; returns the failure count.
+int osi_decode_batch_mem(const uint8_t** bufs, const size_t* lens, int n,
+                         const float* utop, const float* uleft,
+                         const uint8_t* flip, int resize, int crop,
+                         int threads, uint8_t* out, uint8_t* ok) {
+  std::atomic<int> next(0);
+  std::atomic<int> failures(0);
+  const size_t stride = static_cast<size_t>(crop) * crop * 3;
+
+  auto work = [&]() {
+    DecodeScratch scratch;  // reused per thread across images
+    for (;;) {
+      const int i = next.fetch_add(1);
+      if (i >= n) break;
+      ok[i] = 0;
+      if (bufs[i] == nullptr || lens[i] == 0) {
+        failures.fetch_add(1);
+        continue;
+      }
+      const double ut = utop ? static_cast<double>(utop[i]) : -1.0;
+      const double ul = uleft ? static_cast<double>(uleft[i]) : -1.0;
+      const int fl = flip ? flip[i] : 0;
+      if (decode_core(bufs[i], lens[i], resize, crop, -1, -1,
+                      ut, ul, fl, out + stride * i, scratch) == 0) {
+        ok[i] = 1;
+      } else {
+        failures.fetch_add(1);
+      }
+    }
+  };
+
+  const int n_threads = std::max(1, threads);
+  std::vector<std::thread> pool;
+  pool.reserve(n_threads - 1);
+  for (int t = 1; t < n_threads; ++t) pool.emplace_back(work);
+  work();
+  for (auto& th : pool) th.join();
+  return failures.load();
+}
+
 // Geometry probe: decoded full size -> (w, h); returns 0 on success.
 int osi_jpeg_size(const uint8_t* jpeg, size_t len, int* w, int* h) {
   jpeg_decompress_struct cinfo;

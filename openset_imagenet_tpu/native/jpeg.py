@@ -81,6 +81,13 @@ def load_library():
                 ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
                 ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
                 ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p]
+            lib.osi_decode_batch_mem.restype = ctypes.c_int
+            lib.osi_decode_batch_mem.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_size_t),
+                ctypes.c_int,
+                ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p]
             _lib = lib
         except Exception as exc:  # toolchain/libjpeg missing
             _lib_error = str(exc)
@@ -187,6 +194,34 @@ def decode_batch(paths, utop=None, uleft=None, flips=None, resize=256,
         c_paths, n, ut_p, ul_p,
         fl.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         resize, crop, int(threads),
+        out.ctypes.data_as(ctypes.c_void_p),
+        ok.ctypes.data_as(ctypes.c_void_p))
+    return out, ok.astype(bool)
+
+
+def decode_batch_mem(blobs, resize=256, crop=224,
+                     threads: Optional[int] = None):
+    """Decode in-memory JPEG ``blobs`` into one ``uint8 [N, crop, crop, 3]``
+    center-cropped batch via the C++ thread pool (GIL released for the
+    whole batch) — the serving daemon's bulk-request decode path.
+
+    Returns ``(images, ok)`` where ``ok[i]`` is False for blobs the native
+    decoder rejects (caller falls back to :func:`pil_replay` for those);
+    ``(None, None)`` when the native library is unavailable.
+    """
+    lib = load_library()
+    if lib is None:
+        return None, None
+    n = len(blobs)
+    blobs = [bytes(b) for b in blobs]  # pin buffers for the C call
+    c_bufs = (ctypes.c_char_p * n)(*blobs)
+    c_lens = (ctypes.c_size_t * n)(*[len(b) for b in blobs])
+    out = np.empty((n, crop, crop, 3), np.uint8)
+    ok = np.zeros(n, np.uint8)
+    if threads is None:
+        threads = min(n, os.cpu_count() or 1)
+    lib.osi_decode_batch_mem(
+        c_bufs, c_lens, n, None, None, None, resize, crop, int(threads),
         out.ctypes.data_as(ctypes.c_void_p),
         ok.ctypes.data_as(ctypes.c_void_p))
     return out, ok.astype(bool)

@@ -71,3 +71,38 @@ def test_pipeline_batch_mode(jpeg_tree):
     got = np.sort(np.concatenate([b.labels for b in batches]))
     np.testing.assert_array_equal(got, np.sort(labels))
     pipe.close()
+
+
+def test_batch_mem_matches_per_image(jpeg_tree):
+    """In-memory batch decode (the serving bulk path) is bitwise the
+    single-shot center-crop decode for every blob."""
+    blobs = [open(p, "rb").read() for p in jpeg_tree]
+    imgs, ok = nj.decode_batch_mem(blobs, resize=256, crop=224, threads=4)
+    assert ok.all()
+    for i in range(len(blobs)):
+        np.testing.assert_array_equal(
+            imgs[i], nj.decode_resize_crop(blobs[i], 256, 224))
+
+
+def test_batch_mem_flags_bad_blobs(jpeg_tree):
+    blobs = [open(jpeg_tree[0], "rb").read(), b"not a jpeg", b""]
+    imgs, ok = nj.decode_batch_mem(blobs, resize=256, crop=224)
+    assert list(ok) == [True, False, False]
+    np.testing.assert_array_equal(
+        imgs[0], nj.decode_resize_crop(blobs[0], 256, 224))
+
+
+def test_serve_decode_many_parity_with_fallback(jpeg_tree, tmp_path):
+    """decode_many_to_input == per-blob decode_to_input, including a PNG
+    that the native decoder rejects (PIL replay fallback in place)."""
+    from openset_imagenet_tpu.serve import decode_many_to_input, decode_to_input
+
+    png = tmp_path / "x.png"
+    rng = np.random.default_rng(3)
+    Image.fromarray(rng.integers(0, 256, (300, 400, 3), np.uint8)).save(png)
+    blobs = [open(jpeg_tree[0], "rb").read(), png.read_bytes(),
+             open(jpeg_tree[1], "rb").read()]
+    many = decode_many_to_input(blobs, 224)
+    assert len(many) == 3
+    for got, blob in zip(many, blobs):
+        np.testing.assert_array_equal(got, decode_to_input(blob, 224))
