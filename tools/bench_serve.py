@@ -132,7 +132,9 @@ def main():
     ap.add_argument("--n-classes", type=int, default=116)
     ap.add_argument("--variant", default="resnet50")
     ap.add_argument("--max-batch", type=int, default=64)
-    ap.add_argument("--window-ms", type=float, default=5.0)
+    ap.add_argument("--window-ms", default="5",
+                    help="coalescing window in ms; a comma list sweeps "
+                         "windows at each client count")
     ap.add_argument("--request-batch", type=int, default=1,
                     help="images per POST: 1 = raw single-image bodies, "
                          ">1 = the JSON bulk endpoint")
@@ -153,33 +155,37 @@ def main():
         print("warming up buckets ...", file=sys.stderr)
         predictor.warmup(args.max_batch)
 
+        windows = [float(w) for w in str(args.window_ms).split(",")]
         results = []
         for n_clients in [int(c) for c in args.clients.split(",")]:
-            server = PredictionServer(("127.0.0.1", 0), predictor,
-                                      max_batch=args.max_batch,
-                                      window_ms=args.window_ms).start()
-            try:
-                run_load(server, blobs[: max(8, args.images // 8)],
-                         n_clients, args.request_batch)  # untimed ramp
-                # The ramp shares the server's counters; zero them so the
-                # reported mean_batch/max_batch cover only the timed run.
-                server.batcher.stats.reset()
-                res = run_load(server, blobs, n_clients,
-                               args.request_batch)
-            finally:
-                server.close()
-            print(json.dumps(res))
-            results.append(res)
+            for window_ms in windows:
+                server = PredictionServer(("127.0.0.1", 0), predictor,
+                                          max_batch=args.max_batch,
+                                          window_ms=window_ms).start()
+                try:
+                    run_load(server, blobs[: max(8, args.images // 8)],
+                             n_clients, args.request_batch)  # untimed ramp
+                    # The ramp shares the server's counters; zero them so
+                    # the reported mean_batch/max_batch cover only the
+                    # timed run.
+                    server.batcher.stats.reset()
+                    res = run_load(server, blobs, n_clients,
+                                   args.request_batch)
+                finally:
+                    server.close()
+                res["window_ms"] = window_ms
+                print(json.dumps(res))
+                results.append(res)
         base = results[0]["imgs_per_sec"]
         best = max(results, key=lambda r: r["imgs_per_sec"])
         print(json.dumps({
             "summary": "serve_http",
             "image_size": args.image_size,
-            "window_ms": args.window_ms,
             "request_batch": args.request_batch,
             "best_imgs_per_sec": best["imgs_per_sec"],
             "best_clients": best["clients"],
-            "scaling_vs_1_client": best["imgs_per_sec"] / base,
+            "best_window_ms": best["window_ms"],
+            "scaling_vs_first": best["imgs_per_sec"] / base,
         }))
 
 
