@@ -97,6 +97,14 @@ class OpenSetPredictor:
         from .export import ARTIFACT_SUFFIX, read_metadata
 
         self._fixed_batch = None
+        import pathlib as _pathlib
+        if (_pathlib.Path(checkpoint) / "saved_model.pb").exists():
+            raise ValueError(
+                f"{checkpoint} is a TF SavedModel bundle "
+                "(export_imagenet --format savedmodel); it runs on the "
+                "TF runtime (tf_export.load_savedmodel / TF-Serving). "
+                "This predictor serves checkpoints or StableHLO "
+                f"bundles ({ARTIFACT_SUFFIX}).")
         if str(checkpoint).endswith(ARTIFACT_SUFFIX):
             self.meta = read_metadata(checkpoint)
             self._init_from_artifact(checkpoint, n_classes, image_size,

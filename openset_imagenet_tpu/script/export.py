@@ -12,7 +12,12 @@ runs anywhere StableHLO runs, with or without this package:
     #   fn = openset_imagenet_tpu.export.load_serving("entropic.stablehlo")
     #   logits, features, scores = fn(images_uint8)
 
-Thin wrapper over :mod:`openset_imagenet_tpu.export`.
+``--format savedmodel`` instead lowers the same forward through jax2tf
+into a TF SavedModel directory for TF-Serving-style stacks (see
+:mod:`openset_imagenet_tpu.tf_export`; needs tensorflow).
+
+Thin wrapper over :mod:`openset_imagenet_tpu.export` /
+:mod:`openset_imagenet_tpu.tf_export`.
 """
 
 from __future__ import annotations
@@ -35,7 +40,15 @@ def get_args(argv=None):
                              "background)")
     parser.add_argument("--output", "-o", default=None,
                         help="Artifact path (default: checkpoint name "
-                             "with .stablehlo)")
+                             "with .stablehlo / .savedmodel)")
+    parser.add_argument("--format", choices=("stablehlo", "savedmodel"),
+                        default="stablehlo",
+                        help="stablehlo (default): jax.export bundle for "
+                             "jax/PJRT/IREE serving hosts; savedmodel: "
+                             "TF SavedModel directory via jax2tf for "
+                             "TF-Serving-style stacks (needs tensorflow; "
+                             "--platforms does not apply — the TF "
+                             "runtime owns placement)")
     parser.add_argument("--model-variant", default="resnet50")
     parser.add_argument("--image-size", type=int, default=224)
     parser.add_argument("--batch-size", type=int, default=None,
@@ -96,15 +109,18 @@ def main(argv=None):
     from ..logger import configure_logger
 
     log = configure_logger()
+    suffix = ARTIFACT_SUFFIX if args.format == "stablehlo" \
+        else ".savedmodel"
     out = pathlib.Path(args.output) if args.output else \
-        pathlib.Path(args.checkpoint).with_suffix(ARTIFACT_SUFFIX)
+        pathlib.Path(args.checkpoint).with_suffix(suffix)
     # Built once; --validate reuses it (no second checkpoint read).
     live = build_serving_fn(args.checkpoint, args.n_classes,
                             variant=args.model_variant,
                             image_size=args.image_size)
-    exported = export_forward(live, image_size=args.image_size,
-                              batch_size=args.batch_size,
-                              platforms=args.platforms)
+    if args.format == "stablehlo":
+        exported = export_forward(live, image_size=args.image_size,
+                                  batch_size=args.batch_size,
+                                  platforms=args.platforms)
     threshold = args.threshold
     if args.threshold_at_fpr is not None:
         from ..inference import calibrate_threshold
@@ -125,22 +141,37 @@ def main(argv=None):
         "mode": args.mode,
         "has_background": bool(args.background),
         "threshold": float(threshold),
-        "platforms": list(args.platforms),
         "batch_size": args.batch_size,
         "source_checkpoint": pathlib.Path(args.checkpoint).name,
     }
+    if args.format == "stablehlo":
+        meta["platforms"] = list(args.platforms)
     if args.threshold_at_fpr is not None:
         meta["threshold_fpr_target"] = args.threshold_at_fpr
-    save_exported(exported, out, meta=meta)
-    size_mb = out.stat().st_size / 2**20
-    log.info(f"wrote {out} ({size_mb:.1f} MiB, platforms="
-             f"{','.join(args.platforms)}, batch="
-             f"{args.batch_size or 'symbolic'}) + serving config "
-             f"{out.name}.json")
+    if args.format == "stablehlo":
+        save_exported(exported, out, meta=meta)
+        size_mb = out.stat().st_size / 2**20
+        log.info(f"wrote {out} ({size_mb:.1f} MiB, platforms="
+                 f"{','.join(args.platforms)}, batch="
+                 f"{args.batch_size or 'symbolic'}) + serving config "
+                 f"{out.name}.json")
+    else:
+        from ..tf_export import METADATA_NAME, export_savedmodel
+
+        export_savedmodel(live, out, image_size=args.image_size,
+                          batch_size=args.batch_size, meta=meta)
+        log.info(f"wrote SavedModel {out} (batch="
+                 f"{args.batch_size or 'symbolic'}) + serving config "
+                 f"{out.name}/{METADATA_NAME}")
     if args.validate:
         import numpy as np
 
-        fn = load_serving(out)
+        if args.format == "stablehlo":
+            fn = load_serving(out)
+        else:
+            from ..tf_export import load_savedmodel
+
+            fn = load_savedmodel(out)
         batch = args.batch_size or 2
         imgs = np.random.default_rng(0).integers(
             0, 256, (batch, args.image_size, args.image_size, 3),
