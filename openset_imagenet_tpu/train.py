@@ -132,26 +132,91 @@ class TrainState(struct.PyTreeNode):
                             batch_stats=batch_stats, opt_state=opt_state)
 
 
-def build_optimizer(opt_cfg, steps_per_epoch: int
-                    ) -> optax.GradientTransformation:
-    """Adam or SGD(momentum=0.9) with optional per-epoch StepLR decay.
+def build_lr_schedule(opt_cfg, steps_per_epoch: int, epochs: int = 0):
+    """Per-update learning-rate schedule (a callable ``count -> lr``).
 
-    Parity: reference ``train.py:356-369`` — torch ``StepLR(step_size=decay,
-    gamma)`` stepping once per epoch becomes the per-step schedule
+    Reference parity (the default): ``train.py:356-369`` — torch
+    ``StepLR(step_size=decay, gamma)`` stepping once per epoch becomes
     ``lr * gamma ** ((step // steps_per_epoch) // decay)``.
+
+    TPU extensions (beyond the reference's inventory, all default-off):
+
+    * ``opt.schedule: cosine`` — cosine decay from ``lr`` to
+      ``lr * opt.min_lr_ratio`` (default 0) over the full run; needs
+      ``epochs`` (the worker passes ``cfg.epochs``).
+    * ``opt.warmup_epochs: E`` — linear warmup 0 → ``lr`` over the
+      first ``E`` epochs, composed in front of either schedule (the
+      standard large-batch ramp, Goyal et al. 2017).
+
+    ``steps_per_epoch`` is in optimizer *updates* — with gradient
+    accumulation the caller divides the dataloader length by
+    ``accumulate_steps`` (see :func:`build_optimizer`).
     """
     lr = float(opt_cfg.lr)
     decay = int(getattr(opt_cfg, "decay", 0) or 0)
     gamma = float(getattr(opt_cfg, "gamma", 1.0) or 1.0)
-    if decay > 0:
-        def schedule(count):
-            epoch = count // max(steps_per_epoch, 1)
-            return lr * gamma ** (epoch // decay)
+    kind = getattr(opt_cfg, "schedule", "step") or "step"
+    spe = max(int(steps_per_epoch), 1)
+    warmup = int(getattr(opt_cfg, "warmup_epochs", 0) or 0) * spe
+    if kind == "cosine":
+        if epochs <= 0:
+            raise ValueError("opt.schedule: cosine needs the total epoch "
+                             "count (cfg.epochs) to place the decay")
+        floor = lr * float(getattr(opt_cfg, "min_lr_ratio", 0.0) or 0.0)
+        # The decay spans the post-warmup region (standard composition:
+        # ramp to the peak, then one half-cosine down to the floor).
+        total = max(epochs * spe - warmup, 1)
+
+        def base(count):
+            frac = jnp.clip((count - warmup) / total, 0.0, 1.0)
+            return floor + (lr - floor) * 0.5 * (1 + jnp.cos(jnp.pi * frac))
+    elif kind == "step":
+        if decay > 0:
+            def base(count):
+                epoch = count // spe
+                return lr * gamma ** (epoch // decay)
+        else:
+            def base(count):
+                return lr
     else:
-        schedule = lr
+        raise ValueError(f"unknown opt.schedule {kind!r}; "
+                         "choose 'step' or 'cosine'")
+    if warmup <= 0:
+        return base
+
+    def schedule(count):
+        ramp = (count + 1) / warmup
+        return jnp.where(count < warmup, lr * ramp, base(count))
+
+    return schedule
+
+
+def build_optimizer(opt_cfg, steps_per_epoch: int, epochs: int = 0
+                    ) -> optax.GradientTransformation:
+    """Adam or SGD(momentum=0.9) over :func:`build_lr_schedule`.
+
+    Parity: reference ``train.py:356-369`` (torch Adam/SGD + StepLR).
+    TPU extension (default-off): ``opt.accumulate_steps: k`` wraps the
+    transformation in ``optax.MultiSteps`` — gradients average over k
+    micro-batches and the optimizer applies every k-th call, giving a
+    k× effective batch on the same HBM footprint.  Epoch-based
+    schedules stay aligned because the schedule counts *updates*:
+    ``steps_per_epoch`` is divided by k here (MultiSteps advances the
+    inner count only on real updates).  BN statistics still update
+    every micro-step — same semantics as ghost batch-norm.
+    """
+    accum = int(getattr(opt_cfg, "accumulate_steps", 1) or 1)
+    spe = max(int(steps_per_epoch), 1)
+    if accum > 1:
+        spe = max(spe // accum, 1)
+    schedule = build_lr_schedule(opt_cfg, spe, epochs=epochs)
     if getattr(opt_cfg, "type", "adam") == "sgd":
-        return optax.sgd(schedule, momentum=0.9)
-    return optax.adam(schedule)
+        tx = optax.sgd(schedule, momentum=0.9)
+    else:
+        tx = optax.adam(schedule)
+    if accum > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accum)
+    return tx
 
 
 def create_state(model: ResNet50, rng: jax.Array,
@@ -635,7 +700,8 @@ def worker(cfg) -> dict:
 
     # -- optimizer / state (reference train.py:350-369; model built above
     # with the tail policy) -------------------------------------------------
-    tx = build_optimizer(cfg.opt, steps_per_epoch=max(len(train_pipe), 1))
+    tx = build_optimizer(cfg.opt, steps_per_epoch=max(len(train_pipe), 1),
+                         epochs=int(getattr(cfg, "epochs", 0) or 0))
     state = create_state(model, rng, tx, image_size=image_size)
     state = jax.device_put(state, rep)
 
