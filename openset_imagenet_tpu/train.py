@@ -40,7 +40,7 @@ import signal
 import time
 from collections import defaultdict
 
-from typing import Any, Callable, Optional, Tuple
+from typing import Any, Callable, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -191,6 +191,60 @@ def build_lr_schedule(opt_cfg, steps_per_epoch: int, epochs: int = 0):
     return schedule
 
 
+class EmaState(NamedTuple):
+    """Shadow EMA of the parameters, carried inside ``opt_state``.
+
+    Living in the optimizer state (not a TrainState field) means every
+    existing invariant — donated-buffer jit, mesh replication,
+    msgpack checkpointing, bitwise resume — covers the EMA for free.
+    """
+    ema_params: Any
+
+
+def weight_ema(decay: float) -> optax.GradientTransformation:
+    """Maintain ``ema = decay * ema + (1 - decay) * params`` per update.
+
+    TPU extension beyond the reference's inventory: the standard
+    production trick (Polyak averaging) — evaluate/serve a smoothed copy
+    of the weights while training the raw ones.  Passes gradients
+    through untouched; chain it LAST so it sees the final updates and
+    can form the post-step parameters.
+    """
+    def init(params):
+        # A real copy, not an alias: the train step donates the whole
+        # TrainState, and aliased params/ema buffers would be donated
+        # twice (Execute() rejects that).
+        return EmaState(ema_params=jax.tree_util.tree_map(jnp.copy, params))
+
+    def update(updates, state, params=None):
+        if params is None:
+            raise ValueError("weight_ema requires params")
+        new_params = optax.apply_updates(params, updates)
+        ema = jax.tree_util.tree_map(
+            lambda e, p: decay * e + (1.0 - decay) * p,
+            state.ema_params, new_params)
+        return updates, EmaState(ema_params=ema)
+
+    return optax.GradientTransformation(init, update)
+
+
+def extract_ema(opt_state):
+    """Pull the EMA parameters out of a (possibly nested) ``opt_state``.
+
+    Walks chain/MultiSteps tuple nesting; returns ``None`` when the
+    optimizer was built without ``opt.ema`` (callers fall back to the
+    raw parameters).
+    """
+    if isinstance(opt_state, EmaState):
+        return opt_state.ema_params
+    if isinstance(opt_state, tuple):   # chain tuples AND NamedTuple states
+        for child in opt_state:
+            found = extract_ema(child)
+            if found is not None:
+                return found
+    return None
+
+
 def build_optimizer(opt_cfg, steps_per_epoch: int, epochs: int = 0
                     ) -> optax.GradientTransformation:
     """Adam or SGD(momentum=0.9) over :func:`build_lr_schedule`.
@@ -214,6 +268,13 @@ def build_optimizer(opt_cfg, steps_per_epoch: int, epochs: int = 0
         tx = optax.sgd(schedule, momentum=0.9)
     else:
         tx = optax.adam(schedule)
+    ema = float(getattr(opt_cfg, "ema", 0.0) or 0.0)
+    if ema:
+        if not 0.0 < ema < 1.0:
+            raise ValueError(f"opt.ema must be in (0, 1), got {ema}")
+        # Chained inside MultiSteps: the EMA advances once per real
+        # optimizer update, not per accumulation micro-step.
+        tx = optax.chain(tx, weight_ema(ema))
     if accum > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=accum)
     return tx
@@ -702,6 +763,7 @@ def worker(cfg) -> dict:
     # with the tail policy) -------------------------------------------------
     tx = build_optimizer(cfg.opt, steps_per_epoch=max(len(train_pipe), 1),
                          epochs=int(getattr(cfg, "epochs", 0) or 0))
+    ema_on = bool(float(getattr(cfg.opt, "ema", 0.0) or 0.0))
     state = create_state(model, rng, tx, image_size=image_size)
     state = jax.device_put(state, rep)
 
@@ -807,7 +869,16 @@ def worker(cfg) -> dict:
                              f"to {profile_dir}")
             train_time = time.time() - epoch_time
 
-            validate(state, val_pipe, epoch, eval_step, v_metrics)
+            # opt.ema: validation, γ model selection and the *best*
+            # checkpoint all use the smoothed weights (the deployable
+            # artifact); _curr keeps the raw params + opt_state so
+            # resume stays bitwise-exact.
+            eval_state = state
+            if ema_on:
+                ema_params = extract_ema(state.opt_state)
+                if ema_params is not None:
+                    eval_state = state.replace(params=ema_params)
+            validate(eval_state, val_pipe, epoch, eval_step, v_metrics)
             curr_score = v_metrics["conf_kn"].avg + v_metrics["conf_unk"].avg
 
             writer.add_scalar("train/loss", t_metrics["j"].avg, epoch)
@@ -832,7 +903,8 @@ def worker(cfg) -> dict:
                 ckpt_name = str(out_dir / cfg.name) + "_best.pth"
                 log.info(f"Saving best model {ckpt_name} at epoch: {epoch}")
                 if is_lead:
-                    save_checkpoint(ckpt_name, state, epoch, best_score)
+                    save_checkpoint(ckpt_name, eval_state, epoch,
+                                    best_score)
 
             if early_stopping is not None:
                 early_stopping(metrics=curr_score, loss=False)

@@ -95,6 +95,67 @@ def test_accumulate_schedule_counts_updates_not_microsteps():
     np.testing.assert_allclose(seen, expect, rtol=1e-5)
 
 
+def test_weight_ema_recurrence_and_extract():
+    """EMA follows decay*e + (1-decay)*p per real update; extract_ema
+    finds it under chain AND MultiSteps nesting."""
+    tx = engine.build_optimizer(opt_ns(ema=0.5, accumulate_steps=2),
+                                steps_per_epoch=8)
+    params = {"w": jnp.zeros(2)}
+    state = tx.init(params)
+    assert np.asarray(engine.extract_ema(state)["w"]).tolist() == [0, 0]
+    g = {"w": -jnp.ones(2)}   # sgd lr=0.1 -> params move +0.1/update
+    for i in range(4):        # 4 micro-steps = 2 real updates
+        up, state = tx.update(g, state, params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, params, up)
+    # updates: sgd momentum buffer over unit mean-grads
+    # p1 = 0.1*1.0; p2 = p1 + 0.1*1.9
+    p1, p2 = 0.1, 0.1 + 0.19
+    ema = 0.5 * (0.5 * 0.0 + 0.5 * p1) + 0.5 * p2
+    np.testing.assert_allclose(np.asarray(engine.extract_ema(state)["w"]),
+                               ema, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(params["w"]), p2, rtol=1e-6)
+
+
+def test_extract_ema_none_without_ema():
+    tx = engine.build_optimizer(opt_ns(), steps_per_epoch=4)
+    assert engine.extract_ema(tx.init({"w": jnp.ones(1)})) is None
+
+
+def test_build_optimizer_rejects_bad_ema():
+    with pytest.raises(ValueError, match="ema"):
+        engine.build_optimizer(opt_ns(ema=1.5), steps_per_epoch=4)
+
+
+@pytest.mark.slow
+def test_worker_ema_best_checkpoint_holds_smoothed_weights(tmp_path):
+    """With opt.ema on: _curr stores the raw params (exact resume) and
+    _best stores the EMA params == extract_ema of _curr's opt_state."""
+    from openset_imagenet_tpu.checkpoint import load_checkpoint
+    from openset_imagenet_tpu.models.resnet import build_resnet
+
+    write_protocol_csvs(tmp_path)
+    cfg = tiny_cfg(tmp_path, "softmax", epochs=1)
+    cfg.opt = NameSpace({"type": "adam", "lr": 1e-3, "decay": 0,
+                         "gamma": 1, "ema": 0.9})
+    engine.worker(cfg)
+    model = build_resnet("tiny", fc_layer_dim=3, out_features=3)
+    tx = engine.build_optimizer(cfg.opt, 1)
+    template = engine.create_state(model, jax.random.PRNGKey(0), tx,
+                                   image_size=32)
+    curr, _, _ = load_checkpoint(
+        cfg.output_directory / "softmax_curr.pth", template)
+    best, _, _ = load_checkpoint(
+        cfg.output_directory / "softmax_best.pth", template)
+    ema = engine.extract_ema(curr.opt_state)
+    flat_best = jax.tree_util.tree_leaves(best.params)
+    flat_ema = jax.tree_util.tree_leaves(ema)
+    flat_raw = jax.tree_util.tree_leaves(curr.params)
+    for b, e in zip(flat_best, flat_ema):
+        np.testing.assert_array_equal(np.asarray(b), np.asarray(e))
+    assert any(not np.array_equal(np.asarray(b), np.asarray(r))
+               for b, r in zip(flat_best, flat_raw))
+
+
 @pytest.mark.slow
 def test_worker_trains_with_accumulation_and_cosine(tmp_path):
     """End-to-end: the training worker runs with both extensions on."""
