@@ -177,12 +177,23 @@ class _ConvKernel(nn.Module):
 
 
 class Bottleneck(nn.Module):
-    """ResNet v1.5 bottleneck block: 1x1 -> 3x3(stride) -> 1x1, expansion 4."""
+    """ResNet v1.5 bottleneck block: 1x1 -> 3x3(stride) -> 1x1, expansion 4.
+
+    ``groups``/``base_width`` follow torchvision's Bottleneck semantics —
+    the inner width is ``int(filters * base_width / 64) * groups`` and the
+    3x3 convolution is grouped — enabling the ResNeXt (groups=32,
+    base_width=4|8) and Wide-ResNet (base_width=128) families.  The
+    reference instantiates only the standard resnet50 (reference
+    ``model.py:11``); these are capability extensions sharing the same
+    two-head contract and checkpoint key layout.
+    """
 
     filters: int
     strides: int = 1
     norm: ModuleDef = nn.BatchNorm
     dtype: Any = jnp.bfloat16
+    groups: int = 1
+    base_width: int = 64
     dot_1x1: bool = False
     # Fused-backward mode (experimental/fused_block.py): one custom-VJP per block,
     # Pallas kernels for the pointwise-conv backward regions.  Requires
@@ -257,7 +268,12 @@ class Bottleneck(nn.Module):
     @nn.compact
     def __call__(self, x):
         if self.fused:
+            if self.groups != 1 or self.base_width != 64:
+                raise ValueError(
+                    "fused_blocks supports only the standard bottleneck "
+                    "(groups=1, base_width=64)")
             return self._fused_call(x)
+        width = int(self.filters * (self.base_width / 64.0)) * self.groups
         conv = partial(nn.Conv, use_bias=False, dtype=self.dtype,
                        kernel_init=conv_kernel_init)
         if self.dot_1x1:
@@ -279,15 +295,16 @@ class Bottleneck(nn.Module):
         # backward recomputes BN/relu chains from them instead of re-reading
         # their outputs from HBM.  A no-op outside jax.checkpoint.
         residual = x
-        y = checkpoint_name(pointwise(pw0, self.filters)(x), "conv_out")
+        y = checkpoint_name(pointwise(pw0, width)(x), "conv_out")
         y = self.norm(name="bn1")(y)
         y = nn.relu(y)
         y = checkpoint_name(
-            conv(self.filters, (3, 3),
+            conv(width, (3, 3),
                  strides=(self.strides, self.strides),
                  # torch's padding=1; flax "SAME" would pad (0,1) at
                  # stride 2 (reference parity, torchvision Bottleneck)
                  padding=[(1, 1), (1, 1)],
+                 feature_group_count=self.groups,
                  # keep the auto-name slot stable across both 1x1 forms
                  name="Conv_1" if self.dot_1x1 else None)(y), "conv_out")
         y = self.norm(name="bn2")(y)
@@ -328,6 +345,10 @@ class ResNet50(nn.Module):
     stage_sizes: Sequence[int] = (3, 4, 6, 3)
     block: ModuleDef = None  # None -> Bottleneck
     width: int = 64  # filters of the first stage
+    # torchvision Bottleneck extension knobs: ResNeXt grouped convolutions
+    # (groups=32, base_width=4|8) and Wide-ResNet (base_width=128).
+    groups: int = 1
+    base_width: int = 64
     # > 0: batch-norm statistics from the first N batch rows only (ghost
     # BN; see models/norm.py) — a TPU HBM-bandwidth optimization.
     bn_stats_rows: int = 0
@@ -385,6 +406,13 @@ class ResNet50(nn.Module):
         base_block = self.block if self.block is not None else Bottleneck
         block_cls = base_block
         block_kwargs = {}
+        if self.groups != 1 or self.base_width != 64:
+            if base_block is not Bottleneck:
+                # torchvision raises the same constraint for BasicBlock.
+                raise ValueError("groups/base_width require Bottleneck "
+                                 "variants (resnext*/wide_resnet*)")
+            block_kwargs.update(groups=self.groups,
+                                base_width=self.base_width)
         if self.dot_1x1 and base_block is Bottleneck:
             block_kwargs["dot_1x1"] = True
         if self.fused_blocks:
@@ -435,9 +463,20 @@ _VARIANTS = {
     "resnet50": dict(stage_sizes=(3, 4, 6, 3), block=Bottleneck),
     "resnet101": dict(stage_sizes=(3, 4, 23, 3), block=Bottleneck),
     "resnet152": dict(stage_sizes=(3, 8, 36, 3), block=Bottleneck),
+    # ResNeXt / Wide-ResNet families (torchvision constructor parameters).
+    "resnext50_32x4d": dict(stage_sizes=(3, 4, 6, 3), block=Bottleneck,
+                            groups=32, base_width=4),
+    "resnext101_32x8d": dict(stage_sizes=(3, 4, 23, 3), block=Bottleneck,
+                             groups=32, base_width=8),
+    "wide_resnet50_2": dict(stage_sizes=(3, 4, 6, 3), block=Bottleneck,
+                            base_width=128),
+    "wide_resnet101_2": dict(stage_sizes=(3, 4, 23, 3), block=Bottleneck,
+                             base_width=128),
     # Tiny variants for tests/CI: one block per stage, narrow.
     "tiny": dict(stage_sizes=(1, 1, 1, 1), block=BasicBlock, width=8),
     "tiny50": dict(stage_sizes=(1, 1, 1, 1), block=Bottleneck, width=8),
+    "tinyx": dict(stage_sizes=(1, 1, 1, 1), block=Bottleneck, width=8,
+                  groups=4, base_width=32),
 }
 
 
@@ -457,6 +496,8 @@ def build_resnet(variant: str = "resnet50", *, fc_layer_dim: int,
                     logit_bias=logit_bias, dtype=dtype,
                     stage_sizes=spec["stage_sizes"], block=spec["block"],
                     width=spec.get("width", 64),
+                    groups=spec.get("groups", 1),
+                    base_width=spec.get("base_width", 64),
                     bn_stats_rows=bn_stats_rows,
                     space_to_depth=space_to_depth, remat=remat,
                     dot_1x1=dot_1x1, fused_blocks=fused_blocks,

@@ -218,7 +218,7 @@ opt:
   decay: 0
   gamma: 1
 model:
-  variant: resnet50
+  variant: {os.environ.get("OSI_DRIVE_VARIANT", "resnet50")}
   bn_stats_rows: 8
 protocol: 1
 output_directory: {out}
