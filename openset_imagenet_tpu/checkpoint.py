@@ -20,10 +20,13 @@ the caller's sharding when training resumes.
 
 from __future__ import annotations
 
+import queue
+import threading
 from pathlib import Path
 from typing import Any, Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from flax import serialization
 
@@ -47,20 +50,26 @@ def save_checkpoint(f_name, state, epoch: int, best_score: float,
             reference ``train.py:55``).
         best_score: current best validation γ score.
         extra: optional additional host-side metadata (must be
-            msgpack-serialisable).
+            msgpack-serialisable).  The trainer records
+            ``{"arch": {"variant", "space_to_depth"}}`` here so
+            evaluate/serving can rebuild the right model without being
+            told (``infer_arch``).
     """
-    # Scalars first: read_metadata stream-reads the leading map entries
-    # without decoding the weight tensors.
+    # Scalars (and the small ``extra`` map) first: read_metadata
+    # stream-reads the leading map entries without decoding the weight
+    # tensors.
     payload = {
         "epoch": int(epoch) + 1,
         "step": int(state.step),
         "best_score": float(best_score),
-        "model_state_dict": _to_numpy(state.params),
-        "batch_stats": _to_numpy(state.batch_stats),
-        "opt_state_dict": _to_numpy(state.opt_state),
     }
     if extra:
         payload["extra"] = extra
+    payload.update(
+        model_state_dict=_to_numpy(state.params),
+        batch_stats=_to_numpy(state.batch_stats),
+        opt_state_dict=_to_numpy(state.opt_state),
+    )
     blob = serialization.msgpack_serialize(payload)
     f_name = Path(f_name)
     f_name.parent.mkdir(parents=True, exist_ok=True)
@@ -68,6 +77,70 @@ def save_checkpoint(f_name, state, epoch: int, best_score: float,
     with open(tmp, "wb") as f:
         f.write(blob)
     tmp.replace(f_name)  # atomic: a crash never corrupts _curr.pth
+
+
+class AsyncCheckpointer:
+    """Overlap checkpoint I/O with the next epoch's compute.
+
+    ``save()`` snapshots the state *on device* (cheap XLA copies — the
+    donated training buffers are never touched by the writer thread) and
+    hands the device->host fetch, msgpack serialization, and atomic file
+    write to a single background worker.  Files are written in submission
+    order (FIFO worker), so the reference's ``_curr``-then-``_best``
+    sequence (reference ``train.py:55-64``) is preserved.
+
+    The caller MUST ``wait()`` before reading any written file and before
+    process exit (the engine does both).  Worker exceptions are re-raised
+    on the next ``save()``/``wait()`` so a failed write cannot pass
+    silently.  An extension over the reference (which blocks the epoch
+    loop on ``torch.save``); content is byte-identical to
+    :func:`save_checkpoint`.
+    """
+
+    def __init__(self) -> None:
+        self._q: queue.Queue = queue.Queue()
+        self._error: Optional[BaseException] = None
+        self._worker = threading.Thread(target=self._run, daemon=True,
+                                        name="osi-ckpt-writer")
+        self._worker.start()
+
+    def _run(self) -> None:
+        while True:
+            item = self._q.get()
+            try:
+                if item is None:
+                    return
+                f_name, state, epoch, best_score, extra = item
+                save_checkpoint(f_name, state, epoch, best_score, extra)
+            except BaseException as e:  # surfaced on next save()/wait()
+                self._error = e
+            finally:
+                self._q.task_done()
+
+    def _check(self) -> None:
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise RuntimeError("async checkpoint write failed") from err
+
+    def save(self, f_name, state, epoch: int, best_score: float,
+             extra: Optional[dict] = None) -> None:
+        """Snapshot ``state`` and enqueue the write (non-blocking)."""
+        self._check()
+        # On-device copies detach the snapshot from buffers the next
+        # train step will donate; jnp.copy dispatches asynchronously.
+        snap = jax.tree.map(
+            lambda x: jnp.copy(x) if isinstance(x, jax.Array) else x, state)
+        self._q.put((f_name, snap, epoch, best_score, extra))
+
+    def wait(self) -> None:
+        """Block until every enqueued checkpoint is durably on disk."""
+        self._q.join()
+        self._check()
+
+    def close(self) -> None:
+        self.wait()
+        self._q.put(None)
+        self._worker.join()
 
 
 class CheckpointShapeError(ValueError):
@@ -209,34 +282,42 @@ def infer_n_classes(checkpoint) -> int:
 
 def read_metadata(checkpoint) -> dict:
     """Read only ``{epoch, best_score}`` (the plot layer's use, reference
-    ``script/plot_all.py:140-141``) without materialising the weights.
+    ``script/plot_all.py:140-141``) — plus ``extra`` when present —
+    without materialising the weights.
 
-    New checkpoints store the scalars as the leading map entries, so a
-    streaming msgpack unpack stops before any tensor; older layouts fall
-    back to a full decode.
+    New checkpoints store the scalars (and the small ``extra`` map) as
+    the leading map entries, so a streaming msgpack unpack stops before
+    any tensor; older layouts fall back to a full decode.
     """
     import msgpack
+
+    _scalar_keys = ("epoch", "step", "best_score", "extra")
+
+    def _result(meta):
+        out = {"epoch": int(meta["epoch"]),
+               "best_score": float(meta["best_score"])}
+        if "extra" in meta:
+            out["extra"] = meta["extra"]
+        return out
 
     try:
         with open(checkpoint, "rb") as f:
             unpacker = msgpack.Unpacker(f, raw=False)
             n_entries = unpacker.read_map_header()
             meta = {}
-            for _ in range(min(n_entries, 3)):
+            for _ in range(min(n_entries, len(_scalar_keys))):
                 key = unpacker.unpack()
-                value = unpacker.unpack()
-                if key in ("epoch", "best_score"):
-                    meta[key] = value
-                if len(meta) == 2:
-                    return {"epoch": int(meta["epoch"]),
-                            "best_score": float(meta["best_score"])}
+                if key not in _scalar_keys:
+                    break  # hit a tensor collection: metadata is over
+                meta[key] = unpacker.unpack()
+            if "epoch" in meta and "best_score" in meta:
+                return _result(meta)
     except Exception:
         pass
     try:
         with open(checkpoint, "rb") as f:
             payload = serialization.msgpack_restore(f.read())
-        return {"epoch": int(payload["epoch"]),
-                "best_score": float(payload["best_score"])}
+        return _result(payload)
     except Exception:
         # Reference torch checkpoint (the evaluate CLI auto-converts these,
         # so the plot layer must read their metadata too).
@@ -246,3 +327,23 @@ def read_metadata(checkpoint) -> dict:
                              weights_only=True)
         return {"epoch": int(payload.get("epoch", 0)),
                 "best_score": float(payload.get("best_score", 0.0))}
+
+
+def infer_arch(checkpoint) -> dict:
+    """Architecture metadata a trained checkpoint was saved with.
+
+    Returns ``{"variant": str, "space_to_depth": bool}`` for checkpoints
+    written by this framework's trainer; ``{}`` for pre-metadata native
+    checkpoints, reference torch checkpoints, and unreadable files —
+    callers fall back to their defaults (resnet50, no S2D).  Lets
+    ``evaluate_imagenet``/``predict_imagenet``/``OpenSetPredictor``
+    rebuild the right model geometry without a ``--model-variant`` flag
+    (the reference hardcodes resnet50, reference
+    ``script/evaluate.py:103-110``).
+    """
+    try:
+        meta = read_metadata(checkpoint)
+    except Exception:
+        return {}
+    arch = (meta.get("extra") or {}).get("arch") or {}
+    return dict(arch) if isinstance(arch, dict) else {}

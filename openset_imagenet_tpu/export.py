@@ -77,8 +77,8 @@ def read_metadata(path) -> dict:
     return meta if isinstance(meta, dict) else {}
 
 
-def build_serving_fn(checkpoint, n_classes: int, variant: str = "resnet50",
-                     image_size: int = 224):
+def build_serving_fn(checkpoint, n_classes: int,
+                     variant: str | None = None, image_size: int = 224):
     """Load a checkpoint and close the serving forward over its weights.
 
     Same model construction + weight loading as
@@ -92,10 +92,16 @@ def build_serving_fn(checkpoint, n_classes: int, variant: str = "resnet50",
     import optax
 
     from . import train as engine
-    from .checkpoint import load_weights_any_format
+    from .checkpoint import infer_arch, load_weights_any_format
     from .config import NameSpace
 
-    cfg = NameSpace({"model": {"variant": variant}, "seed": 0, "data": {}})
+    arch = infer_arch(checkpoint)
+    if variant is None:
+        variant = arch.get("variant", "resnet50")
+    cfg = NameSpace({"model": {"variant": variant,
+                               "space_to_depth":
+                                   bool(arch.get("space_to_depth", False))},
+                     "seed": 0, "data": {}})
     model = engine.build_model(cfg, n_classes)
     state = engine.create_state(model, jax.random.PRNGKey(0),
                                 optax.identity(), image_size=image_size)

@@ -55,7 +55,7 @@ class OpenSetPredictor:
     """Batched open-set classifier around a trained two-head ResNet."""
 
     def __init__(self, checkpoint, n_classes: int | None = None,
-                 variant: str = "resnet50", image_size: int | None = None,
+                 variant: str | None = None, image_size: int | None = None,
                  threshold: float | None = None, mode: str | None = None,
                  has_background: bool | None = None, mesh=None):
         """Args:
@@ -72,7 +72,10 @@ class OpenSetPredictor:
                 (garbage models include their background class).  Left
                 ``None``, it is read from the artifact's output shape or
                 the checkpoint's logits head (``infer_n_classes``).
-            variant: ResNet variant name.
+            variant: ResNet variant name; ``None`` reads the variant
+                (and space-to-depth stem flag) stored in the
+                checkpoint's arch metadata, falling back to resnet50
+                for checkpoints without it (the reference's).
             image_size: crop size the model expects (default 224 for
                 checkpoints; the exported size for artifacts).
             threshold: rejection threshold; 0 disables rejection.
@@ -177,15 +180,22 @@ class OpenSetPredictor:
         self._forward = lambda state, images: fn(images)
 
     def _init_from_checkpoint(self, checkpoint, n_classes: int,
-                              variant: str, image_size: int, mesh) -> None:
+                              variant: str | None, image_size: int,
+                              mesh) -> None:
         import optax
 
         from . import train as engine
-        from .checkpoint import load_weights_any_format
+        from .checkpoint import infer_arch, load_weights_any_format
         from .config import NameSpace
 
-        cfg = NameSpace({"model": {"variant": variant}, "seed": 0,
-                         "data": {}})
+        arch = infer_arch(checkpoint)
+        if variant is None:
+            variant = arch.get("variant", "resnet50")
+        cfg = NameSpace({"model": {"variant": variant,
+                                   "space_to_depth":
+                                       bool(arch.get("space_to_depth",
+                                                     False))},
+                         "seed": 0, "data": {}})
         model = engine.build_model(cfg, n_classes)
         state = engine.create_state(model, jax.random.PRNGKey(0),
                                     optax.identity(),

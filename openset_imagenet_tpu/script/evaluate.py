@@ -46,7 +46,11 @@ def get_args(argv=None):
     parser.add_argument("--batch-size", type=int, default=64)
     parser.add_argument("--workers", type=int, default=16)
     parser.add_argument("--image-size", type=int, default=224)
-    parser.add_argument("--model-variant", default="resnet50")
+    parser.add_argument("--model-variant", default=None,
+                        help="Model architecture; default reads the "
+                             "variant stored in the checkpoint "
+                             "(resnet50 for checkpoints without "
+                             "metadata, e.g. the reference's)")
     parser.add_argument("--reader", default="auto",
                         choices=("auto", "native", "pil", "synthetic"))
     args = parser.parse_args(argv)
@@ -100,7 +104,17 @@ def main(argv=None):
     else:
         mesh = data_mesh_for_batch(args.batch_size)
 
-    cfg = NameSpace({"model": {"variant": args.model_variant},
+    ckpt = out_dir / f"{args.loss}{suffix}.pth"
+    # Rebuild the architecture the checkpoint was trained with (stored
+    # arch metadata; explicit --model-variant wins, absent metadata
+    # falls back to the reference's resnet50).
+    from ..checkpoint import infer_arch
+    arch = infer_arch(ckpt)
+    variant = args.model_variant or arch.get("variant", "resnet50")
+    cfg = NameSpace({"model": {"variant": variant,
+                               "space_to_depth":
+                                   bool(arch.get("space_to_depth",
+                                                 False))},
                      "data": {"reader": args.reader},
                      "workers": args.workers,
                      "seed": 42})
@@ -112,7 +126,6 @@ def main(argv=None):
     state = engine.create_state(model, jax.random.PRNGKey(42),
                                 optax.identity(),
                                 image_size=args.image_size)
-    ckpt = out_dir / f"{args.loss}{suffix}.pth"
     # Accepts this framework's checkpoints AND the reference's published
     # torch checkpoints (auto-converted).
     state, start_epoch, best_score = load_weights_any_format(

@@ -49,7 +49,11 @@ def get_args(argv=None):
                              "TF-Serving-style stacks (needs tensorflow; "
                              "--platforms does not apply — the TF "
                              "runtime owns placement)")
-    parser.add_argument("--model-variant", default="resnet50")
+    parser.add_argument("--model-variant", default=None,
+                        help="Model architecture; default reads the "
+                             "variant stored in the checkpoint "
+                             "(resnet50 for checkpoints without "
+                             "metadata, e.g. the reference's)")
     parser.add_argument("--image-size", type=int, default=224)
     parser.add_argument("--batch-size", type=int, default=None,
                         help="Fix the batch dimension (default: symbolic "

@@ -84,7 +84,11 @@ def get_args(argv=None):
                              "(default: the bundle's flag when serving "
                              "an artifact, else off; --no-background "
                              "overrides a bundle)")
-    parser.add_argument("--model-variant", default="resnet50")
+    parser.add_argument("--model-variant", default=None,
+                        help="Model architecture; default reads the "
+                             "variant stored in the checkpoint "
+                             "(resnet50 for checkpoints without "
+                             "metadata, e.g. the reference's)")
     parser.add_argument("--image-size", type=int, default=None,
                         help="Crop size the model expects (default: the "
                              "artifact's exported size when serving one, "

@@ -70,7 +70,11 @@ def get_args(argv=None):
                         action=argparse.BooleanOptionalAction,
                         help="Garbage-regime checkpoint: exclude the "
                              "background column from the class decision")
-    parser.add_argument("--model-variant", default="resnet50")
+    parser.add_argument("--model-variant", default=None,
+                        help="Model architecture; default reads the "
+                             "variant stored in the checkpoint "
+                             "(resnet50 for checkpoints without "
+                             "metadata, e.g. the reference's)")
     parser.add_argument("--image-size", type=int, default=None)
     parser.add_argument("--gpu", "-g", type=int, nargs="?", default=None,
                         const=0,

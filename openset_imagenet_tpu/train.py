@@ -48,7 +48,7 @@ import numpy as np
 import optax
 from flax import struct
 
-from .checkpoint import load_checkpoint, save_checkpoint
+from .checkpoint import AsyncCheckpointer, load_checkpoint, save_checkpoint
 from .dataset import ImagenetDataset
 from .events import SummaryWriter
 from .logger import configure_logger
@@ -845,6 +845,37 @@ def worker(cfg) -> dict:
         (getattr(profile_cfg, "epochs", None) or [start_epoch])
         if profile_cfg else [])
 
+    # Async checkpoint writer (extension over the reference's blocking
+    # torch.save, reference train.py:55-64): the epoch loop snapshots state
+    # on device and continues while a worker thread does the host fetch +
+    # file write.  Content and _curr-then-_best ordering are identical to
+    # the sync path; the finally below drains the queue before the worker
+    # returns, so the resume/preemption contracts ("_curr is durable when
+    # worker() exits") are unchanged.  async_checkpoint: false restores
+    # fully synchronous writes.
+    ckpt_writer = (AsyncCheckpointer()
+                   if is_lead and getattr(cfg, "async_checkpoint", True)
+                   else None)
+
+    # Architecture metadata stored with every checkpoint so
+    # evaluate/serving can rebuild the exact model without flags
+    # (checkpoint.infer_arch).  Only geometry-affecting knobs belong
+    # here (bn_stats_rows/remat/... change no parameter shapes).
+    model_cfg = getattr(cfg, "model", None)
+    arch = {"variant": (getattr(model_cfg, "variant", "resnet50")
+                        if model_cfg is not None else "resnet50"),
+            "space_to_depth": bool(getattr(model_cfg, "space_to_depth",
+                                           False))
+            if model_cfg is not None else False}
+
+    def _save(f_name, save_state, ep, score):
+        if ckpt_writer is not None:
+            ckpt_writer.save(f_name, save_state, ep, score,
+                             extra={"arch": arch})
+        else:
+            save_checkpoint(f_name, save_state, ep, score,
+                            extra={"arch": arch})
+
     epoch = start_epoch - 1
     shutdown = GracefulShutdown()
     shutdown.__enter__()
@@ -897,14 +928,13 @@ def worker(cfg) -> dict:
 
             ckpt_name = str(out_dir / cfg.name) + "_curr.pth"
             if is_lead:
-                save_checkpoint(ckpt_name, state, epoch, curr_score)
+                _save(ckpt_name, state, epoch, curr_score)
             if curr_score > best_score:
                 best_score = curr_score
                 ckpt_name = str(out_dir / cfg.name) + "_best.pth"
                 log.info(f"Saving best model {ckpt_name} at epoch: {epoch}")
                 if is_lead:
-                    save_checkpoint(ckpt_name, eval_state, epoch,
-                                    best_score)
+                    _save(ckpt_name, eval_state, epoch, best_score)
 
             if early_stopping is not None:
                 early_stopping(metrics=curr_score, loss=False)
@@ -933,6 +963,12 @@ def worker(cfg) -> dict:
         train_pipe.close()
         val_pipe.close()
         writer.close()
+        if ckpt_writer is not None:
+            # Drain pending checkpoint writes (and surface any writer
+            # error) before worker() returns — callers may read _curr
+            # immediately after.  Chains onto an in-flight exception via
+            # __context__ rather than hiding it.
+            ckpt_writer.close()
     log.info("Training finished")
     return {"best_score": best_score, "last_epoch": epoch,
             "n_classes": n_classes,

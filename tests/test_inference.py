@@ -56,6 +56,26 @@ def test_predictor_classifies_and_rejects(trained):
         rtol=1e-5, atol=1e-7)
 
 
+def test_predictor_auto_detects_variant_from_checkpoint(trained):
+    """No ``variant`` argument: the predictor rebuilds the architecture
+    from the arch metadata the trainer stored in the checkpoint."""
+    from openset_imagenet_tpu.checkpoint import infer_arch
+    from openset_imagenet_tpu.inference import OpenSetPredictor
+
+    root, cfg = trained
+    ckpt = cfg.output_directory / "entropic_best.pth"
+    assert infer_arch(ckpt) == {"variant": "tiny",
+                                "space_to_depth": False}
+    pred = OpenSetPredictor(ckpt, image_size=32)  # no variant, no n_classes
+    assert pred.n_classes == 3
+    images = np.random.default_rng(2).integers(
+        0, 256, (4, 32, 32, 3), np.uint8)
+    explicit = OpenSetPredictor(ckpt, n_classes=3, variant="tiny",
+                                image_size=32)
+    np.testing.assert_array_equal(pred.predict(images)[0],
+                                  explicit.predict(images)[0])
+
+
 def test_garbage_predictor_excludes_background(trained):
     from openset_imagenet_tpu.inference import OpenSetPredictor
 
