@@ -98,8 +98,14 @@ class AsyncCheckpointer:
     """
 
     def __init__(self) -> None:
-        self._q: queue.Queue = queue.Queue()
+        # Bounded queue = backpressure: each pending item pins a full
+        # on-device state copy, so a writer slower than the epoch loop
+        # (slow disk, tunneled device->host fetch) must degrade toward
+        # synchronous saves instead of accumulating snapshots until HBM
+        # OOM.  Capacity 2 holds one epoch's _curr+_best pair.
+        self._q: queue.Queue = queue.Queue(maxsize=2)
         self._error: Optional[BaseException] = None
+        self._closed = False
         self._worker = threading.Thread(target=self._run, daemon=True,
                                         name="osi-ckpt-writer")
         self._worker.start()
@@ -124,7 +130,13 @@ class AsyncCheckpointer:
 
     def save(self, f_name, state, epoch: int, best_score: float,
              extra: Optional[dict] = None) -> None:
-        """Snapshot ``state`` and enqueue the write (non-blocking)."""
+        """Snapshot ``state`` and enqueue the write.
+
+        Non-blocking while fewer than 2 writes are pending; blocks (i.e.
+        degrades toward a synchronous save) when the writer falls behind.
+        """
+        if self._closed:
+            raise RuntimeError("AsyncCheckpointer is closed")
         self._check()
         # On-device copies detach the snapshot from buffers the next
         # train step will donate; jnp.copy dispatches asynchronously.
@@ -134,11 +146,14 @@ class AsyncCheckpointer:
 
     def wait(self) -> None:
         """Block until every enqueued checkpoint is durably on disk."""
+        if self._closed:
+            raise RuntimeError("AsyncCheckpointer is closed")
         self._q.join()
         self._check()
 
     def close(self) -> None:
         self.wait()
+        self._closed = True
         self._q.put(None)
         self._worker.join()
 
@@ -289,6 +304,28 @@ def read_metadata(checkpoint) -> dict:
     the leading map entries, so a streaming msgpack unpack stops before
     any tensor; older layouts fall back to a full decode.
     """
+    try:
+        return _read_native_metadata(checkpoint)
+    except FileNotFoundError:
+        raise
+    except Exception:
+        # Reference torch checkpoint (the evaluate CLI auto-converts these,
+        # so the plot layer must read their metadata too).
+        import torch
+
+        payload = torch.load(checkpoint, map_location="cpu",
+                             weights_only=True)
+        return {"epoch": int(payload.get("epoch", 0)),
+                "best_score": float(payload.get("best_score", 0.0))}
+
+
+def _read_native_metadata(checkpoint) -> dict:
+    """Native-format metadata read; raises for non-msgpack files.
+
+    New checkpoints store the scalars (and ``extra``) as the leading map
+    entries, so the streaming unpack stops before any tensor; older
+    layouts fall back to a full decode.
+    """
     import msgpack
 
     _scalar_keys = ("epoch", "step", "best_score", "extra")
@@ -312,21 +349,13 @@ def read_metadata(checkpoint) -> dict:
                 meta[key] = unpacker.unpack()
             if "epoch" in meta and "best_score" in meta:
                 return _result(meta)
+    except FileNotFoundError:
+        raise
     except Exception:
         pass
-    try:
-        with open(checkpoint, "rb") as f:
-            payload = serialization.msgpack_restore(f.read())
-        return _result(payload)
-    except Exception:
-        # Reference torch checkpoint (the evaluate CLI auto-converts these,
-        # so the plot layer must read their metadata too).
-        import torch
-
-        payload = torch.load(checkpoint, map_location="cpu",
-                             weights_only=True)
-        return {"epoch": int(payload.get("epoch", 0)),
-                "best_score": float(payload.get("best_score", 0.0))}
+    with open(checkpoint, "rb") as f:
+        payload = serialization.msgpack_restore(f.read())
+    return _result(payload)
 
 
 def infer_arch(checkpoint) -> dict:
@@ -342,8 +371,26 @@ def infer_arch(checkpoint) -> dict:
     ``script/evaluate.py:103-110``).
     """
     try:
-        meta = read_metadata(checkpoint)
+        # Native-only read: torch checkpoints can never carry arch
+        # metadata, so skip read_metadata's torch fallback (which would
+        # fully load a multi-hundred-MB reference .pth a second time
+        # just to answer {}).
+        meta = _read_native_metadata(checkpoint)
     except Exception:
         return {}
     arch = (meta.get("extra") or {}).get("arch") or {}
     return dict(arch) if isinstance(arch, dict) else {}
+
+
+def resolve_model_cfg(checkpoint, variant: Optional[str] = None) -> dict:
+    """Model-geometry config for rebuilding a checkpoint's architecture.
+
+    Returns ``{"variant": str, "space_to_depth": bool}`` — an explicit
+    ``variant`` always wins; otherwise the checkpoint's stored arch
+    metadata; otherwise the reference defaults (resnet50, no S2D).  The
+    single resolution rule shared by evaluate/predict/serve/export and
+    :class:`~openset_imagenet_tpu.inference.OpenSetPredictor`.
+    """
+    arch = infer_arch(checkpoint)
+    return {"variant": variant or arch.get("variant", "resnet50"),
+            "space_to_depth": bool(arch.get("space_to_depth", False))}

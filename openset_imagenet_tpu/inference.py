@@ -185,16 +185,10 @@ class OpenSetPredictor:
         import optax
 
         from . import train as engine
-        from .checkpoint import infer_arch, load_weights_any_format
+        from .checkpoint import load_weights_any_format, resolve_model_cfg
         from .config import NameSpace
 
-        arch = infer_arch(checkpoint)
-        if variant is None:
-            variant = arch.get("variant", "resnet50")
-        cfg = NameSpace({"model": {"variant": variant,
-                                   "space_to_depth":
-                                       bool(arch.get("space_to_depth",
-                                                     False))},
+        cfg = NameSpace({"model": resolve_model_cfg(checkpoint, variant),
                          "seed": 0, "data": {}})
         model = engine.build_model(cfg, n_classes)
         state = engine.create_state(model, jax.random.PRNGKey(0),

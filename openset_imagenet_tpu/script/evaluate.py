@@ -108,13 +108,8 @@ def main(argv=None):
     # Rebuild the architecture the checkpoint was trained with (stored
     # arch metadata; explicit --model-variant wins, absent metadata
     # falls back to the reference's resnet50).
-    from ..checkpoint import infer_arch
-    arch = infer_arch(ckpt)
-    variant = args.model_variant or arch.get("variant", "resnet50")
-    cfg = NameSpace({"model": {"variant": variant,
-                               "space_to_depth":
-                                   bool(arch.get("space_to_depth",
-                                                 False))},
+    from ..checkpoint import resolve_model_cfg
+    cfg = NameSpace({"model": resolve_model_cfg(ckpt, args.model_variant),
                      "data": {"reader": args.reader},
                      "workers": args.workers,
                      "seed": 42})

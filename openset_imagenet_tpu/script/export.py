@@ -117,9 +117,15 @@ def main(argv=None):
         else ".savedmodel"
     out = pathlib.Path(args.output) if args.output else \
         pathlib.Path(args.checkpoint).with_suffix(suffix)
+    # Resolve the variant up front (explicit flag > checkpoint arch
+    # metadata > resnet50) so the provenance sidecar records the
+    # architecture actually built, not a null flag value.
+    from ..checkpoint import resolve_model_cfg
+    variant = resolve_model_cfg(args.checkpoint,
+                                args.model_variant)["variant"]
     # Built once; --validate reuses it (no second checkpoint read).
     live = build_serving_fn(args.checkpoint, args.n_classes,
-                            variant=args.model_variant,
+                            variant=variant,
                             image_size=args.image_size)
     if args.format == "stablehlo":
         exported = export_forward(live, image_size=args.image_size,
@@ -141,7 +147,7 @@ def main(argv=None):
         "format": 1,
         "n_classes": args.n_classes,
         "image_size": args.image_size,
-        "variant": args.model_variant,
+        "variant": variant,
         "mode": args.mode,
         "has_background": bool(args.background),
         "threshold": float(threshold),

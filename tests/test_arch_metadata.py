@@ -71,3 +71,35 @@ def test_infer_arch_on_torch_checkpoint(tmp_path):
 
 def test_infer_arch_missing_file():
     assert infer_arch("/nonexistent/path.pth") == {}
+
+
+def test_infer_arch_never_torch_loads(tmp_path, monkeypatch):
+    """A reference torch .pth can never carry arch metadata — infer_arch
+    must answer {} without torch.load()ing the (potentially multi-
+    hundred-MB) file a second time at CLI startup."""
+    torch = pytest.importorskip("torch")
+    f = tmp_path / "ref.pth"
+    torch.save({"epoch": 5, "model_state_dict": {}}, f)
+
+    def _boom(*a, **k):
+        raise AssertionError("infer_arch must not torch.load")
+
+    monkeypatch.setattr(torch, "load", _boom)
+    assert infer_arch(f) == {}
+
+
+def test_resolve_model_cfg_precedence(tmp_path):
+    from openset_imagenet_tpu.checkpoint import resolve_model_cfg
+
+    f = tmp_path / "c.pth"
+    save_checkpoint(f, _FakeState(), epoch=0, best_score=0.0,
+                    extra={"arch": {"variant": "wide_resnet50_2",
+                                    "space_to_depth": True}})
+    # Metadata wins when no explicit variant is given...
+    assert resolve_model_cfg(f) == {"variant": "wide_resnet50_2",
+                                    "space_to_depth": True}
+    # ...an explicit variant overrides it (S2D still from metadata)...
+    assert resolve_model_cfg(f, "resnet18")["variant"] == "resnet18"
+    # ...and no metadata at all means the reference defaults.
+    assert resolve_model_cfg("/nonexistent.pth") == {
+        "variant": "resnet50", "space_to_depth": False}

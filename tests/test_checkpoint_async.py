@@ -93,6 +93,25 @@ def test_writer_error_surfaces_on_wait(tmp_path, state):
     assert read_metadata(ok)["epoch"] == 2
 
 
+def test_save_after_close_raises(tmp_path, state):
+    w = AsyncCheckpointer()
+    w.save(tmp_path / "a.pth", state, epoch=0, best_score=0.0)
+    w.close()
+    with pytest.raises(RuntimeError, match="closed"):
+        w.save(tmp_path / "b.pth", state, epoch=1, best_score=1.0)
+    with pytest.raises(RuntimeError, match="closed"):
+        w.wait()
+
+
+def test_queue_is_bounded():
+    """Backpressure: a writer slower than the epoch loop must block
+    save() (degrade toward sync) instead of pinning unbounded on-device
+    state copies.  Capacity 2 = one epoch's _curr+_best pair."""
+    w = AsyncCheckpointer()
+    assert w._q.maxsize == 2
+    w.close()
+
+
 def test_close_drains_pending_writes(tmp_path, state):
     files = [tmp_path / f"c{i}.pth" for i in range(4)]
     w = AsyncCheckpointer()

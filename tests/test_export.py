@@ -180,6 +180,19 @@ def test_predictor_serves_fixed_batch_artifact(trained, tmp_path):
     assert sum(len(c) for c in got) == 7
 
 
+def test_export_cli_auto_variant_records_resolved_arch(trained, tmp_path):
+    """--model-variant omitted: the CLI resolves the variant from the
+    checkpoint's arch metadata and the provenance sidecar records the
+    architecture actually built (never null)."""
+    from openset_imagenet_tpu.export import load_serving
+    from openset_imagenet_tpu.script import export as cli
+
+    art = tmp_path / "auto.stablehlo"
+    cli.main([str(trained), "3", "--image-size", "32",
+              "--platforms", "cpu", "-o", str(art)])
+    assert load_serving(art).meta["variant"] == "tiny"
+
+
 def test_bundle_metadata_roundtrip(trained, tmp_path):
     """The export CLI writes a serving-config sidecar; the predictor
     resolves unset arguments from it, explicit arguments override it."""
