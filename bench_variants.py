@@ -401,6 +401,15 @@ VARIANTS = {
     "r101": lambda: run_variant("r101", 256, model_variant="resnet101"),
     "r152": lambda: run_variant("r152", 256, model_variant="resnet152"),
     "r152_b128": lambda: run_variant("r152_b128", 128, model_variant="resnet152"),
+    # Grouped / wide families (torchvision constructor parity).
+    "rx50": lambda: run_variant("rx50", 256,
+                                model_variant="resnext50_32x4d"),
+    "rx101": lambda: run_variant("rx101", 128,
+                                 model_variant="resnext101_32x8d"),
+    "w50": lambda: run_variant("w50", 256, model_variant="wide_resnet50_2"),
+    "w101": lambda: run_variant("w101", 128,
+                                model_variant="wide_resnet101_2"),
+    "cost_rx50": lambda: cost_analysis(model_variant="resnext50_32x4d"),
     # Explicit-collective shard_map mode on one chip (per-device BN).
     "shardmap1": lambda: run_variant("shardmap1", 256,
                                      steps_mode="shard_map"),
