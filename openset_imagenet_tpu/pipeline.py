@@ -185,10 +185,21 @@ class InputPipeline:
         images = self.reader.read_batch([self.paths[i] for i in real], rngs)
         return self._assemble(idxs, images)
 
-    def epoch(self, epoch: int = 0) -> Iterator[Batch]:
-        """Yield all batches of one epoch, prefetched onto device."""
+    def epoch(self, epoch: int = 0, start_batch: int = 0) -> Iterator[Batch]:
+        """Yield the batches of one epoch, prefetched onto device.
+
+        ``start_batch`` skips the first k batches of the epoch without
+        decoding them — because the order and the per-sample augmentation
+        are pure functions of ``(seed, epoch, global index)``, the suffix
+        is bitwise-identical to the suffix of a full iteration.  This is
+        the substrate for step-granular (mid-epoch) checkpoint resume.
+        """
         order = self._epoch_order(epoch)
         nb = len(self)
+        start_batch = int(start_batch)
+        if not 0 <= start_batch <= nb:
+            raise ValueError(f"start_batch {start_batch} outside the "
+                             f"epoch's [0, {nb}] batch range")
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
@@ -207,8 +218,8 @@ class InputPipeline:
             try:
                 # Keep up to prefetch+1 batches of futures in flight.
                 window = []
-                b = 0
-                submitted = 0
+                b = start_batch
+                submitted = start_batch
                 while b < nb and not stop.is_set():
                     while submitted < min(nb, b + self.prefetch + 1):
                         window.append(submit(submitted))

@@ -446,7 +446,9 @@ def make_forward_step(mesh=None) -> Callable:
 def train_epoch(state: TrainState, pipeline: InputPipeline, epoch: int,
                 train_step: Callable, trackers,
                 progress: bool = False,
-                tail_step: Optional[Callable] = None) -> TrainState:
+                tail_step: Optional[Callable] = None,
+                start_batch: int = 0,
+                step_hook: Optional[Callable] = None) -> TrainState:
     """One pass over the training set; updates ``trackers['j']``.
 
     Also tracks wall-clock throughput in ``trackers['imgs/s']`` (the
@@ -459,24 +461,40 @@ def train_epoch(state: TrainState, pipeline: InputPipeline, epoch: int,
     batch-norm statistics restricted to its valid rows — the reference
     trains this tail too (``DataLoader(drop_last=False)``, reference
     ``train.py:299-304``).
+
+    Step-granular resume (TPU extension beyond the reference's
+    epoch-boundary checkpoints):
+
+    * ``start_batch`` resumes the epoch at batch k — the pipeline's
+      (seed, epoch, index)-keyed determinism makes the suffix bitwise
+      identical to the uninterrupted epoch, so a mid-epoch
+      checkpoint + resume retraces the straight run exactly.  Tracker
+      averages then cover only the resumed part of the epoch (the model
+      state is unaffected).
+    * ``step_hook(state, done)`` runs after every step with the number of
+      batches consumed so far this epoch; returning True ends the epoch
+      early (the worker uses this for mid-epoch preemption saves and the
+      ``max_steps`` budget).
     """
     for m in trackers.values():
         m.reset()
     sums = None
     t0 = time.time()
     nb = len(pipeline)
-    batches = pipeline.epoch(epoch)
+    batches = pipeline.epoch(epoch, start_batch=start_batch)
     if progress:
         try:
             import tqdm
-            batches = tqdm.tqdm(batches, total=nb, leave=False)
+            batches = tqdm.tqdm(batches, total=nb - start_batch, leave=False)
         except ImportError:
             pass
-    for i, batch in enumerate(batches):
+    for i, batch in enumerate(batches, start=start_batch):
         step = (tail_step if tail_step is not None and i == nb - 1
                 else train_step)
         state, m = step(state, batch.images, batch.labels, batch.mask)
         sums = m if sums is None else jax.tree.map(jnp.add, sums, m)
+        if step_hook is not None and step_hook(state, i + 1):
+            break
     if sums is not None:
         count = float(sums["count"])  # device fetch: drains the epoch
         elapsed = time.time() - t0
@@ -664,6 +682,7 @@ def worker(cfg) -> dict:
 
     best_score = 0.0
     start_epoch = 0
+    start_batch = 0  # mid-epoch resume offset (checkpoint extra.progress)
 
     out_dir = pathlib.Path(cfg.output_directory)
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -779,10 +798,29 @@ def worker(cfg) -> dict:
         else:
             state, start_epoch, best_score = load_checkpoint(
                 cfg.checkpoint, state, restore_opt=True)
+            # Step-granular resume: a mid-epoch checkpoint (preemption in
+            # preempt_mode=step, a periodic checkpoint_every_steps save, or
+            # a max_steps stop) records where inside the epoch it was
+            # taken; training resumes at exactly that batch.  Epoch-end
+            # checkpoints carry no progress entry and keep the reference's
+            # epoch-boundary resume (reference train.py:372-388).
+            from .checkpoint import read_metadata
+            progress_meta = (read_metadata(cfg.checkpoint).get("extra")
+                             or {}).get("progress")
+            if progress_meta:
+                start_epoch = int(progress_meta["epoch"])
+                start_batch = int(progress_meta["next_batch"])
+                if not 0 <= start_batch < len(train_pipe):
+                    raise ValueError(
+                        f"mid-epoch checkpoint resumes at batch "
+                        f"{start_batch} but the training set now has "
+                        f"{len(train_pipe)} batches/epoch — the dataset or "
+                        "batch_size changed since the checkpoint was saved")
         state = jax.device_put(state, rep)
         log.info(f"Best score of loaded model: {best_score:.3f}. "
                  "0 is for fine tuning")
-        log.info(f"Loaded {cfg.checkpoint} at epoch {start_epoch}")
+        log.info(f"Loaded {cfg.checkpoint} at epoch {start_epoch}"
+                 + (f", batch {start_batch}" if start_batch else ""))
 
     # parallel_mode: gspmd (default, one global-batch program) or
     # shard_map (explicit collectives + per-device BN statistics — the
@@ -868,13 +906,79 @@ def worker(cfg) -> dict:
                                            False))
             if model_cfg is not None else False}
 
-    def _save(f_name, save_state, ep, score):
+    def _save(f_name, save_state, ep, score, progress=None):
+        extra = {"arch": arch}
+        if progress:
+            extra["progress"] = progress
         if ckpt_writer is not None:
-            ckpt_writer.save(f_name, save_state, ep, score,
-                             extra={"arch": arch})
+            ckpt_writer.save(f_name, save_state, ep, score, extra=extra)
         else:
-            save_checkpoint(f_name, save_state, ep, score,
-                            extra={"arch": arch})
+            save_checkpoint(f_name, save_state, ep, score, extra=extra)
+
+    # -- step-granular preemption / budget (TPU extensions; SURVEY.md §5
+    # A2/A3).  The reference can only stop at epoch boundaries; on real
+    # TPU preemptions that forfeits the partial epoch.  Knobs (all
+    # default to the reference-parity behavior):
+    #   preempt_mode: "epoch" (default) finishes the epoch on SIGTERM;
+    #     "step" saves a mid-epoch _curr checkpoint (with extra.progress)
+    #     at the next step boundary and exits — resume retraces the run
+    #     bitwise (the pipeline is (seed, epoch, index)-deterministic).
+    #   checkpoint_every_steps: N > 0 additionally writes a mid-epoch
+    #     _curr every N steps (crash tolerance, not just preemption).
+    #   preempt_check_steps: signal-check (and, multi-process, agreement
+    #     allgather) cadence in step mode.
+    #   max_steps: stop the run after this many total optimizer steps
+    #     (a step-budget; saves mid-epoch progress when the budget ends
+    #     inside an epoch).
+    preempt_mode = getattr(cfg, "preempt_mode", "epoch") or "epoch"
+    if preempt_mode not in ("epoch", "step"):
+        raise ValueError(f"preempt_mode must be 'epoch' or 'step', "
+                         f"got {preempt_mode!r}")
+    ckpt_every = int(getattr(cfg, "checkpoint_every_steps", 0) or 0)
+    check_every = max(int(getattr(cfg, "preempt_check_steps", 16) or 16), 1)
+    max_steps = int(getattr(cfg, "max_steps", 0) or 0)
+    nb_train = len(train_pipe)
+    interrupted = {"at": None}   # batch count the epoch stopped after
+    budget_done = {"hit": False}
+    hooks_on = bool(ckpt_every or max_steps or preempt_mode == "step")
+
+    def make_step_hook(ep):
+        curr_name = str(out_dir / cfg.name) + "_curr.pth"
+
+        def hook(st, done):
+            # done = batches consumed this epoch; base + done = total
+            # optimizer steps across the run (constant nb_train/epoch).
+            total = ep * nb_train + done
+            stop = False
+            if preempt_mode == "step" and done % check_every == 0:
+                stop = shutdown.requested
+                if jax.process_count() > 1:
+                    # Same cross-host agreement as the epoch boundary:
+                    # every rank evaluates the hook at the same step, so
+                    # either all stop here or none does.
+                    from jax.experimental import multihost_utils
+                    stop = bool(np.max(multihost_utils.process_allgather(
+                        np.int32(stop))))
+            if max_steps and total >= max_steps:
+                if done >= nb_train:
+                    # Budget ends exactly at the boundary: let the normal
+                    # epoch-end validate/checkpoint path handle it.
+                    budget_done["hit"] = True
+                else:
+                    stop = True
+            if done >= nb_train:
+                # The epoch is complete — the boundary path owns
+                # validation, checkpointing and the shutdown check.
+                return False
+            if stop or (ckpt_every and done % ckpt_every == 0):
+                if is_lead:
+                    _save(curr_name, st, ep, best_score,
+                          progress={"epoch": ep, "next_batch": done})
+            if stop:
+                interrupted["at"] = done
+            return stop
+
+        return hook
 
     epoch = start_epoch - 1
     shutdown = GracefulShutdown()
@@ -890,7 +994,12 @@ def worker(cfg) -> dict:
                                     t_metrics,
                                     progress=not getattr(cfg, "parallel",
                                                          False),
-                                    tail_step=tail_step)
+                                    tail_step=tail_step,
+                                    start_batch=(start_batch
+                                                 if epoch == start_epoch
+                                                 else 0),
+                                    step_hook=(make_step_hook(epoch)
+                                               if hooks_on else None))
             finally:
                 # Stop even when a step raises: an unterminated trace is
                 # lost AND poisons any later start_trace in this process.
@@ -899,6 +1008,17 @@ def worker(cfg) -> dict:
                     log.info(f"Profiler trace for epoch {epoch} written "
                              f"to {profile_dir}")
             train_time = time.time() - epoch_time
+
+            if interrupted["at"] is not None:
+                # The step hook already wrote the mid-epoch _curr (with
+                # extra.progress); validation/epoch-end checkpointing
+                # belong to completed epochs only.
+                log.info(
+                    f"stopped mid-epoch at epoch {epoch} after batch "
+                    f"{interrupted['at']}/{nb_train} "
+                    f"(resume from {cfg.name}_curr.pth retraces the run "
+                    "bitwise)")
+                break
 
             # opt.ema: validation, γ model selection and the *best*
             # checkpoint all use the smoothed weights (the deployable
@@ -955,6 +1075,10 @@ def worker(cfg) -> dict:
                 log.info(f"shutdown requested; stopped cleanly after epoch "
                          f"{epoch} (resume from {cfg.name}_curr.pth)")
                 break
+            if budget_done["hit"]:
+                log.info(f"max_steps={max_steps} reached at the epoch "
+                         f"{epoch} boundary")
+                break
 
     finally:
         # Restore signal handlers and release pipeline threads /
@@ -972,4 +1096,5 @@ def worker(cfg) -> dict:
     log.info("Training finished")
     return {"best_score": best_score, "last_epoch": epoch,
             "n_classes": n_classes,
+            "stopped_mid_epoch": interrupted["at"],
             "device_ids": [d.id for d in mesh.devices.flat]}
