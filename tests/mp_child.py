@@ -26,6 +26,11 @@ def main():
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--out-sub", default="out")
     p.add_argument("--tag", default="run")
+    # Step-granular preemption/budget knobs (tests/test_midepoch_resume.py
+    # semantics, exercised here across a REAL process group).
+    p.add_argument("--max-steps", type=int, default=0)
+    p.add_argument("--preempt-mode", default=None)
+    p.add_argument("--preempt-check-steps", type=int, default=0)
     args = p.parse_args()
 
     # Join the cluster BEFORE any backend use.  Generous timeouts: N jax
@@ -55,6 +60,12 @@ def main():
     cfg.output_directory = shared / args.out_sub
     if args.checkpoint:
         cfg.checkpoint = args.checkpoint
+    if args.max_steps:
+        cfg.max_steps = args.max_steps
+    if args.preempt_mode:
+        cfg.preempt_mode = args.preempt_mode
+    if args.preempt_check_steps:
+        cfg.preempt_check_steps = args.preempt_check_steps
     pid = jax.process_index()
 
     info = engine.worker(cfg)
@@ -95,6 +106,7 @@ def main():
         "n_global_devices": len(jax.devices()),
         "last_epoch": info["last_epoch"],
         "best_score": info["best_score"],
+        "stopped_mid_epoch": info["stopped_mid_epoch"],
         "pid": os.getpid(),
     }))
     print(f"mp_child rank {pid}: done (last_epoch={info['last_epoch']})",

@@ -162,6 +162,74 @@ def test_sigterm_to_one_rank_stops_all_ranks_at_same_epoch(tmp_path):
 
 
 @pytest.mark.slow
+def test_sigterm_step_mode_stops_all_ranks_at_same_step(tmp_path):
+    """Step-mode preemption: SIGTERM on rank 1 only stops BOTH ranks at
+    the same (epoch, batch) via the per-step agreement allgather, and the
+    lead's mid-epoch checkpoint matches that point."""
+    write_protocol_csvs(tmp_path)
+    procs = spawn([CHILD, "--dir", str(tmp_path), "--epochs", "60",
+                   "--tag", "step", "--out-sub", "out_step",
+                   "--preempt-mode", "step", "--preempt-check-steps", "2"],
+                  nproc=2, cpu=True, devices_per_process=2)
+    curr = tmp_path / "out_step" / "entropic_curr.pth"
+    try:
+        deadline = time.time() + 300
+        while not curr.exists():
+            assert time.time() < deadline, "no checkpoint within 300s"
+            if any(p.poll() is not None for p in procs):
+                raise AssertionError("a rank exited before checkpointing")
+            time.sleep(0.2)
+        os.kill(procs[1].pid, signal.SIGTERM)
+        for p in procs:
+            assert p.wait(timeout=300) == 0
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.terminate()
+                p.wait(timeout=30)
+
+    res = _results(tmp_path, "step", 2)
+    assert res[0]["last_epoch"] == res[1]["last_epoch"] < 59
+    assert res[0]["stopped_mid_epoch"] == res[1]["stopped_mid_epoch"]
+    if res[0]["stopped_mid_epoch"] is not None:
+        from openset_imagenet_tpu.checkpoint import read_metadata
+        prog = read_metadata(curr)["extra"]["progress"]
+        assert prog == {"epoch": res[0]["last_epoch"],
+                        "next_batch": res[0]["stopped_mid_epoch"]}
+
+
+@pytest.mark.slow
+def test_midepoch_resume_across_process_group_is_bitwise(tmp_path):
+    """max_steps lands mid-epoch on a 2-process cluster; the resumed group
+    run is bitwise-identical to a straight 2-epoch group run."""
+    write_protocol_csvs(tmp_path)
+    assert launch([CHILD, "--dir", str(tmp_path), "--epochs", "2",
+                   "--tag", "mstr", "--out-sub", "m_straight"],
+                  nproc=2, cpu=True, devices_per_process=2) == [0, 0]
+    # 37 samples / batch 8 -> 5 batches/epoch; 7 = epoch 0 + 2 steps.
+    assert launch([CHILD, "--dir", str(tmp_path), "--epochs", "2",
+                   "--tag", "mcut", "--out-sub", "m_resumed",
+                   "--max-steps", "7"],
+                  nproc=2, cpu=True, devices_per_process=2) == [0, 0]
+    res = _results(tmp_path, "mcut", 2)
+    assert all(r["stopped_mid_epoch"] == 2 for r in res)
+    ckpt = tmp_path / "m_resumed" / "entropic_curr.pth"
+    from openset_imagenet_tpu.checkpoint import read_metadata
+    assert read_metadata(ckpt)["extra"]["progress"] == {
+        "epoch": 1, "next_batch": 2}
+    assert launch([CHILD, "--dir", str(tmp_path), "--epochs", "2",
+                   "--tag", "mres", "--out-sub", "m_resumed",
+                   "--checkpoint", str(ckpt)],
+                  nproc=2, cpu=True, devices_per_process=2) == [0, 0]
+    import jax
+
+    pa = _params(tmp_path / "m_straight" / "entropic_curr.pth")
+    pb = _params(tmp_path / "m_resumed" / "entropic_curr.pth")
+    for x, y in zip(jax.tree.leaves(pa), jax.tree.leaves(pb), strict=True):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+@pytest.mark.slow
 def test_resume_across_process_group_is_bitwise(tmp_path):
     """1 epoch + resume(1 epoch) == 2 epochs, on a 2-process cluster."""
     write_protocol_csvs(tmp_path)
