@@ -193,14 +193,17 @@ def _assert_shapes_match(template, restored, what: str) -> None:
             f"{shown}")
 
 
-def load_checkpoint(checkpoint, state, restore_opt: bool = True
-                    ) -> Tuple[Any, int, float]:
+def load_checkpoint(checkpoint, state, restore_opt: bool = True,
+                    return_extra: bool = False) -> Tuple[Any, ...]:
     """Load a checkpoint into ``state``; returns ``(state, start_epoch, best)``.
 
     ``restore_opt=False`` implements finetune mode (weights + batch stats
     only; optimizer state, step and best score reset — reference
     ``train.py:374-380``).  Raises if the file does not exist (reference
-    ``train.py:100-101``).
+    ``train.py:100-101``).  ``return_extra=True`` appends the payload's
+    ``extra`` metadata map (``{}`` when absent) so callers that need it
+    (the trainer's mid-epoch ``progress`` resume) avoid a second
+    parse of the same file through :func:`read_metadata`.
     """
     file_path = Path(checkpoint)
     if not file_path.is_file():
@@ -220,9 +223,13 @@ def load_checkpoint(checkpoint, state, restore_opt: bool = True
         new_state = state.replace(params=params, batch_stats=batch_stats,
                                   opt_state=opt_state,
                                   step=int(payload.get("step", 0)))
-        return new_state, int(payload["epoch"]), float(payload["best_score"])
-    new_state = state.replace(params=params, batch_stats=batch_stats)
-    return new_state, int(payload["epoch"]), 0.0
+        out = (new_state, int(payload["epoch"]), float(payload["best_score"]))
+    else:
+        new_state = state.replace(params=params, batch_stats=batch_stats)
+        out = (new_state, int(payload["epoch"]), 0.0)
+    if return_extra:
+        return out + (payload.get("extra") or {},)
+    return out
 
 
 def load_weights_any_format(checkpoint, state, model, image_size: int = 224):

@@ -788,34 +788,44 @@ def worker(cfg) -> dict:
 
     # -- resume / finetune (reference train.py:372-388) --------------------
     if getattr(cfg, "checkpoint", None):
-        if getattr(cfg, "train_mode", "train") == "finetune":
-            # Finetune accepts native checkpoints AND the reference's
-            # published torch .pth models (auto-converted) — weights only.
-            from .checkpoint import load_weights_any_format
-            state, start_epoch, _ = load_weights_any_format(
-                cfg.checkpoint, state, model, image_size=image_size)
-            best_score = 0.0
-        else:
-            state, start_epoch, best_score = load_checkpoint(
-                cfg.checkpoint, state, restore_opt=True)
-            # Step-granular resume: a mid-epoch checkpoint (preemption in
-            # preempt_mode=step, a periodic checkpoint_every_steps save, or
-            # a max_steps stop) records where inside the epoch it was
-            # taken; training resumes at exactly that batch.  Epoch-end
-            # checkpoints carry no progress entry and keep the reference's
-            # epoch-boundary resume (reference train.py:372-388).
-            from .checkpoint import read_metadata
-            progress_meta = (read_metadata(cfg.checkpoint).get("extra")
-                             or {}).get("progress")
-            if progress_meta:
-                start_epoch = int(progress_meta["epoch"])
-                start_batch = int(progress_meta["next_batch"])
-                if not 0 <= start_batch < len(train_pipe):
-                    raise ValueError(
-                        f"mid-epoch checkpoint resumes at batch "
-                        f"{start_batch} but the training set now has "
-                        f"{len(train_pipe)} batches/epoch — the dataset or "
-                        "batch_size changed since the checkpoint was saved")
+        try:
+            if getattr(cfg, "train_mode", "train") == "finetune":
+                # Finetune accepts native checkpoints AND the reference's
+                # published torch .pth models (auto-converted) — weights
+                # only.
+                from .checkpoint import load_weights_any_format
+                state, start_epoch, _ = load_weights_any_format(
+                    cfg.checkpoint, state, model, image_size=image_size)
+                best_score = 0.0
+            else:
+                state, start_epoch, best_score, extra_meta = load_checkpoint(
+                    cfg.checkpoint, state, restore_opt=True,
+                    return_extra=True)
+                # Step-granular resume: a mid-epoch checkpoint (preemption
+                # in preempt_mode=step, a periodic checkpoint_every_steps
+                # save, or a max_steps stop) records where inside the epoch
+                # it was taken; training resumes at exactly that batch.
+                # Epoch-end checkpoints carry no progress entry and keep
+                # the reference's epoch-boundary resume (reference
+                # train.py:372-388).
+                progress_meta = extra_meta.get("progress")
+                if progress_meta:
+                    start_epoch = int(progress_meta["epoch"])
+                    start_batch = int(progress_meta["next_batch"])
+                    if not 0 <= start_batch < len(train_pipe):
+                        raise ValueError(
+                            f"mid-epoch checkpoint resumes at batch "
+                            f"{start_batch} but the training set now has "
+                            f"{len(train_pipe)} batches/epoch — the dataset "
+                            "or batch_size changed since the checkpoint was "
+                            "saved")
+        except Exception:
+            # The main try/finally below does not guard resume errors;
+            # release the pipelines' decode thread pools before
+            # propagating (a bad checkpoint must not leak executors).
+            train_pipe.close()
+            val_pipe.close()
+            raise
         state = jax.device_put(state, rep)
         log.info(f"Best score of loaded model: {best_score:.3f}. "
                  "0 is for fine tuning")
@@ -927,9 +937,10 @@ def worker(cfg) -> dict:
     #     _curr every N steps (crash tolerance, not just preemption).
     #   preempt_check_steps: signal-check (and, multi-process, agreement
     #     allgather) cadence in step mode.
-    #   max_steps: stop the run after this many total optimizer steps
-    #     (a step-budget; saves mid-epoch progress when the budget ends
-    #     inside an epoch).
+    #   max_steps: stop the run after this many total training steps
+    #     (batches; with opt.accumulate_steps > 1 each optimizer update
+    #     spans several).  A step-budget; saves mid-epoch progress when
+    #     the budget ends inside an epoch.
     preempt_mode = getattr(cfg, "preempt_mode", "epoch") or "epoch"
     if preempt_mode not in ("epoch", "step"):
         raise ValueError(f"preempt_mode must be 'epoch' or 'step', "
@@ -941,24 +952,38 @@ def worker(cfg) -> dict:
     interrupted = {"at": None}   # batch count the epoch stopped after
     budget_done = {"hit": False}
     hooks_on = bool(ckpt_every or max_steps or preempt_mode == "step")
+    curr_name = str(out_dir / cfg.name) + "_curr.pth"
+
+    def _agree(flag) -> bool:
+        """Cross-process agreement on a stop flag.
+
+        Preemption signals may reach only some hosts (or land while hosts
+        straddle a step/epoch boundary); every rank evaluates this at the
+        same point, so either all ranks stop there or none does —
+        otherwise the stragglers deadlock in the next collective.
+        """
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            flag = np.max(multihost_utils.process_allgather(np.int32(flag)))
+        return bool(flag)
+
+    # A resumed run whose budget is already spent must not train at all
+    # (the hook only checks AFTER a step, so re-entering the loop would
+    # add one step past max_steps per restart) nor overwrite the
+    # checkpoint it resumed from.
+    budget_spent = bool(max_steps
+                        and start_epoch * nb_train + start_batch >= max_steps)
 
     def make_step_hook(ep):
-        curr_name = str(out_dir / cfg.name) + "_curr.pth"
-
         def hook(st, done):
             # done = batches consumed this epoch; base + done = total
-            # optimizer steps across the run (constant nb_train/epoch).
+            # training steps across the run (constant nb_train/epoch).
             total = ep * nb_train + done
             stop = False
             if preempt_mode == "step" and done % check_every == 0:
-                stop = shutdown.requested
-                if jax.process_count() > 1:
-                    # Same cross-host agreement as the epoch boundary:
-                    # every rank evaluates the hook at the same step, so
-                    # either all stop here or none does.
-                    from jax.experimental import multihost_utils
-                    stop = bool(np.max(multihost_utils.process_allgather(
-                        np.int32(stop))))
+                # Same cross-host agreement as the epoch boundary: every
+                # rank evaluates the hook at the same step.
+                stop = _agree(shutdown.requested)
             if max_steps and total >= max_steps:
                 if done >= nb_train:
                     # Budget ends exactly at the boundary: let the normal
@@ -972,7 +997,16 @@ def worker(cfg) -> dict:
                 return False
             if stop or (ckpt_every and done % ckpt_every == 0):
                 if is_lead:
-                    _save(curr_name, st, ep, best_score,
+                    # Epoch ep is NOT finished: store ep-1 so the
+                    # payload's `epoch` field (completed epochs, which
+                    # doubles as the resume start epoch for
+                    # progress-unaware consumers — finetune, torch
+                    # export, the plot layer) stays truthful; those
+                    # consumers restart epoch ep from batch 0 instead of
+                    # silently skipping its untrained remainder.  The
+                    # worker's own resume uses extra.progress for the
+                    # exact (epoch, batch) point.
+                    _save(curr_name, st, ep - 1, best_score,
                           progress={"epoch": ep, "next_batch": done})
             if stop:
                 interrupted["at"] = done
@@ -981,10 +1015,19 @@ def worker(cfg) -> dict:
         return hook
 
     epoch = start_epoch - 1
+    if budget_spent:
+        log.info(f"max_steps={max_steps} already reached at resume "
+                 f"(epoch {start_epoch}, batch {start_batch}); nothing to "
+                 "train")
+        if start_batch:
+            # Report the same stopping point the budget-hitting run did.
+            epoch = start_epoch
+            interrupted["at"] = start_batch
     shutdown = GracefulShutdown()
     shutdown.__enter__()
     try:
-        for epoch in range(start_epoch, cfg.epochs):
+        for epoch in range(start_epoch,
+                           start_epoch if budget_spent else cfg.epochs):
             epoch_time = time.time()
             profiling = profile_dir is not None and epoch in profile_epochs
             if profiling:
@@ -1046,9 +1089,8 @@ def worker(cfg) -> dict:
                 f"train:{dict(t_metrics)} val:{dict(v_metrics)} "
                 f"t:{train_time:.1f}s v:{val_time:.1f}s")
 
-            ckpt_name = str(out_dir / cfg.name) + "_curr.pth"
             if is_lead:
-                _save(ckpt_name, state, epoch, curr_score)
+                _save(curr_name, state, epoch, curr_score)
             if curr_score > best_score:
                 best_score = curr_score
                 ckpt_name = str(out_dir / cfg.name) + "_best.pth"
@@ -1062,16 +1104,7 @@ def worker(cfg) -> dict:
                     log.info("early stop")
                     break
 
-            stop = shutdown.requested
-            if jax.process_count() > 1:
-                # Preemption signals may reach only some hosts (or land
-                # while hosts straddle the boundary); agree on the flag
-                # collectively so every process breaks at the SAME epoch
-                # instead of deadlocking the others in a collective.
-                from jax.experimental import multihost_utils
-                stop = bool(np.max(multihost_utils.process_allgather(
-                    np.int32(stop))))
-            if stop:
+            if _agree(shutdown.requested):
                 log.info(f"shutdown requested; stopped cleanly after epoch "
                          f"{epoch} (resume from {cfg.name}_curr.pth)")
                 break

@@ -235,13 +235,66 @@ def test_worker_sigterm_step_mode_saves_resumable_checkpoint(tmp_path):
     assert read_metadata(curr)["epoch"] == epochs2
 
 
-def test_resume_rejects_changed_batch_geometry(tmp_path):
-    """A progress checkpoint is only valid for the geometry it was cut on."""
+def test_resume_rejects_changed_batch_geometry(tmp_path, monkeypatch):
+    """A progress checkpoint is only valid for the geometry it was cut on.
+
+    The rejection must also release the already-built pipelines' decode
+    thread pools (the resume block raises before the worker's main
+    try/finally is entered).
+    """
     write_protocol_csvs(tmp_path)
     cfg = tiny_cfg(tmp_path, "entropic", epochs=2, max_steps=7)
     engine.worker(cfg)
     curr = Path(cfg.output_directory) / "entropic_curr.pth"
     cfg2 = tiny_cfg(tmp_path, "entropic", epochs=2, batch_size=37)
     cfg2.checkpoint = str(curr)
+    built = []
+    real = engine.pipeline_from_dataset
+
+    def spy(*args, **kwargs):
+        pipe = real(*args, **kwargs)
+        built.append(pipe)
+        return pipe
+
+    monkeypatch.setattr(engine, "pipeline_from_dataset", spy)
     with pytest.raises(ValueError, match="batches/epoch"):
         engine.worker(cfg2)
+    assert len(built) == 2
+    assert all(p._pool._shutdown for p in built)
+
+
+def test_midepoch_checkpoint_epoch_field_counts_completed_epochs(tmp_path):
+    """A mid-epoch _curr's `epoch` payload field stays truthful.
+
+    `epoch` is "completed epochs" (doubling as the resume start for
+    progress-UNAWARE consumers: finetune, torch export, the plot layer).
+    A cut inside epoch 1 must store 1, not 2 — otherwise those consumers
+    silently skip the untrained remainder of the interrupted epoch.
+    """
+    write_protocol_csvs(tmp_path)
+    cfg = tiny_cfg(tmp_path, "entropic", epochs=2, max_steps=7)
+    engine.worker(cfg)  # 5 batches/epoch: stops at epoch 1, batch 2
+    meta = read_metadata(Path(cfg.output_directory) / "entropic_curr.pth")
+    assert meta["extra"]["progress"] == {"epoch": 1, "next_batch": 2}
+    assert meta["epoch"] == 1
+
+
+def test_resume_with_exhausted_budget_trains_nothing(tmp_path):
+    """Resuming a max_steps-exhausted run with the budget still set must
+    not train one more step per restart, nor overwrite the checkpoint it
+    resumed from."""
+    write_protocol_csvs(tmp_path)
+    cfg = tiny_cfg(tmp_path, "entropic", epochs=2, max_steps=7)
+    info = engine.worker(cfg)
+    assert info["stopped_mid_epoch"] == 2
+    curr = Path(cfg.output_directory) / "entropic_curr.pth"
+    before = curr.read_bytes()
+
+    cfg2 = tiny_cfg(tmp_path, "entropic", epochs=2, max_steps=7)
+    cfg2.checkpoint = str(curr)
+    info2 = engine.worker(cfg2)
+    # Same reported stopping point as the budget-hitting run...
+    assert info2["stopped_mid_epoch"] == 2
+    assert info2["last_epoch"] == info["last_epoch"]
+    # ...and the checkpoint is untouched (zero steps were trained).
+    assert curr.read_bytes() == before
