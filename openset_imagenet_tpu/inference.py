@@ -57,7 +57,8 @@ class OpenSetPredictor:
     def __init__(self, checkpoint, n_classes: int | None = None,
                  variant: str | None = None, image_size: int | None = None,
                  threshold: float | None = None, mode: str | None = None,
-                 has_background: bool | None = None, mesh=None):
+                 has_background: bool | None = None, mesh=None,
+                 optimize: str | None = None):
         """Args:
             checkpoint: path to a ``.pth`` checkpoint from training, or
                 an exported ``.stablehlo`` serving artifact
@@ -90,6 +91,12 @@ class OpenSetPredictor:
                 request batch sharded over the mesh devices (GSPMD; no
                 collectives in the forward, so throughput scales linearly
                 with chips).
+            optimize: inference-graph optimization (checkpoints only —
+                exported artifacts baked their graph at export time).
+                ``"fold_bn"`` folds every batch-norm into the preceding
+                convolution (:mod:`openset_imagenet_tpu.optimize`);
+                predictions are bf16-rounding-equal to the unoptimized
+                graph.  ``None`` (default) serves the training graph.
 
         ``threshold`` / ``mode`` / ``has_background`` left as ``None``
         resolve from the artifact's serving-config sidecar
@@ -108,7 +115,15 @@ class OpenSetPredictor:
                 "TF runtime (tf_export.load_savedmodel / TF-Serving). "
                 "This predictor serves checkpoints or StableHLO "
                 f"bundles ({ARTIFACT_SUFFIX}).")
+        if optimize not in (None, "fold_bn"):
+            raise ValueError(f"unknown optimize mode {optimize!r}; choose "
+                             "'fold_bn' (or None for the training graph)")
         if str(checkpoint).endswith(ARTIFACT_SUFFIX):
+            if optimize is not None:
+                raise ValueError(
+                    "optimize= needs a checkpoint, not an exported "
+                    "artifact (the artifact's graph was baked at export "
+                    "time; re-export from the .pth instead)")
             self.meta = read_metadata(checkpoint)
             self._init_from_artifact(checkpoint, n_classes, image_size,
                                      mesh)
@@ -123,7 +138,7 @@ class OpenSetPredictor:
             self.image_size = 224 if image_size is None else int(image_size)
             self.n_classes = int(n_classes)
             self._init_from_checkpoint(checkpoint, self.n_classes, variant,
-                                       self.image_size, mesh)
+                                       self.image_size, mesh, optimize)
         if threshold is None:
             threshold = self.meta.get("threshold", 0.0)
         self.threshold = float(threshold)
@@ -181,7 +196,7 @@ class OpenSetPredictor:
 
     def _init_from_checkpoint(self, checkpoint, n_classes: int,
                               variant: str | None, image_size: int,
-                              mesh) -> None:
+                              mesh, optimize: str | None = None) -> None:
         import optax
 
         from . import train as engine
@@ -197,6 +212,10 @@ class OpenSetPredictor:
         # Native or reference-torch checkpoints both load.
         state, _, _ = load_weights_any_format(checkpoint, state, model,
                                               image_size=image_size)
+        if optimize == "fold_bn":
+            from .optimize import fold_inference
+
+            _, state = fold_inference(model, state)
         # Commit the weights to device once; numpy leaves would otherwise
         # re-transfer the whole model on every predict() call.
         if mesh is not None:

@@ -46,6 +46,19 @@ dense_kernel_init = nn.initializers.variance_scaling(
     1.0 / 3.0, mode="fan_in", distribution="uniform")
 
 
+def _identity_norm(*, name=None, scale_init=None):
+    """Norm slot for the folded inference graph (``ResNet50.folded``).
+
+    Batch-norm is an affine map at inference (running statistics), so the
+    fold transform (:mod:`openset_imagenet_tpu.optimize`) absorbs it into
+    the preceding convolution's kernel + bias and this slot becomes the
+    identity.  Creates no parameters; accepts (and ignores) the keyword
+    arguments the real norm constructors take.
+    """
+    del name, scale_init
+    return lambda y: y
+
+
 class SpaceToDepthStem(nn.Module):
     """7x7/2 stem conv computed in space-to-depth form (TPU MXU-friendly).
 
@@ -66,6 +79,9 @@ class SpaceToDepthStem(nn.Module):
 
     features: int = 64
     dtype: Any = jnp.bfloat16
+    # Bias term (used by the folded inference graph, where the stem BN is
+    # absorbed into this convolution).
+    use_bias: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -81,11 +97,16 @@ class SpaceToDepthStem(nn.Module):
         k = k.reshape(4, 2, 4, 2, c, self.features)
         k = k.transpose(0, 2, 1, 3, 4, 5).reshape(
             4, 4, 4 * c, self.features)
-        return jax.lax.conv_general_dilated(
+        y = jax.lax.conv_general_dilated(
             x2.astype(self.dtype), k.astype(self.dtype),
             window_strides=(1, 1), padding=((2, 1), (2, 1)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=self.dtype)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), jnp.float32)
+            y = y + bias.astype(self.dtype)
+        return y
 
 
 class Conv1x1(nn.Module):
@@ -126,11 +147,25 @@ class BasicBlock(nn.Module):
     # Save the boundary ReLU gate as int8 (experimental/fused_block.masked_add_relu)
     # instead of letting autodiff re-read the bf16 pre-sum in backward.
     boundary_mask: bool = False
+    # Folded inference graph: convs carry the BN's affine map as a bias
+    # (the norm slots are identity; see optimize.fold_batchnorm).
+    folded: bool = False
+    # Int8 PTQ graph: convs are QuantConv (implies folded; see
+    # optimize.quantize_inference).
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, x):
-        conv = partial(nn.Conv, use_bias=False, dtype=self.dtype,
-                       kernel_init=conv_kernel_init)
+        if self.quantized:
+            from .quant import QuantConv
+            conv = partial(QuantConv, dtype=self.dtype)
+            # QuantConv must occupy nn.Conv's auto-name slots (flax
+            # auto-names are per-class), so name them explicitly.
+            slot = lambda i: {"name": f"Conv_{i}"}
+        else:
+            conv = partial(nn.Conv, use_bias=self.folded, dtype=self.dtype,
+                           kernel_init=conv_kernel_init)
+            slot = lambda i: {}
         residual = x
         # Explicit (1,1) padding: torch's Conv2d(3, stride, padding=1).
         # Flax's default "SAME" pads (0,1) at stride 2 — a subtle
@@ -138,11 +173,12 @@ class BasicBlock(nn.Module):
         y = checkpoint_name(
             conv(self.filters, (3, 3),
                  strides=(self.strides, self.strides),
-                 padding=[(1, 1), (1, 1)])(x), "conv_out")
+                 padding=[(1, 1), (1, 1)], **slot(0))(x), "conv_out")
         y = self.norm(name="bn1")(y)
         y = nn.relu(y)
         y = checkpoint_name(
-            conv(self.filters, (3, 3), padding=[(1, 1), (1, 1)])(y),
+            conv(self.filters, (3, 3), padding=[(1, 1), (1, 1)],
+                 **slot(1))(y),
             "conv_out")
         y = self.norm(scale_init=nn.initializers.zeros, name="bn2")(y)
 
@@ -205,6 +241,10 @@ class Bottleneck(nn.Module):
     bn_epsilon: float = BN_EPSILON
     # Save the boundary ReLU gate as int8 (see BasicBlock.boundary_mask).
     boundary_mask: bool = False
+    # Folded inference graph (see BasicBlock.folded).
+    folded: bool = False
+    # Int8 PTQ graph (see BasicBlock.quantized).
+    quantized: bool = False
 
     def _fused_call(self, x):
         from ..experimental.fused_block import (_affine, _conv3x3, _pw,
@@ -274,20 +314,32 @@ class Bottleneck(nn.Module):
                     "(groups=1, base_width=64)")
             return self._fused_call(x)
         width = int(self.filters * (self.base_width / 64.0)) * self.groups
-        conv = partial(nn.Conv, use_bias=False, dtype=self.dtype,
-                       kernel_init=conv_kernel_init)
+        if self.quantized:
+            from .quant import QuantConv
+            conv = partial(QuantConv, dtype=self.dtype)
+        else:
+            conv = partial(nn.Conv, use_bias=self.folded, dtype=self.dtype,
+                           kernel_init=conv_kernel_init)
+        if self.folded and self.dot_1x1:
+            raise ValueError("folded inference is not supported with "
+                             "dot_1x1 (Conv1x1 carries no bias slot)")
         if self.dot_1x1:
             # Same auto-name slots (Conv_0/Conv_2) as the nn.Conv form so
             # the parameter tree is unchanged.
             pw = partial(Conv1x1, dtype=self.dtype)
             pw0 = partial(pw, name="Conv_0")
             pw2 = partial(pw, name="Conv_2")
+        elif self.quantized:
+            # QuantConv must occupy nn.Conv's auto-name slots (flax
+            # auto-names are per-class), so name them explicitly.
+            pw0 = partial(conv, name="Conv_0")
+            pw2 = partial(conv, name="Conv_2")
         else:
             pw = pw0 = pw2 = conv
 
         def pointwise(make, features, strides=1):
-            if make is conv:
-                return conv(features, (1, 1), strides=(strides, strides))
+            if make is conv or self.quantized:
+                return make(features, (1, 1), strides=(strides, strides))
             return make(features, strides=strides)
 
         # checkpoint_name marks conv outputs as the block's only saved
@@ -305,8 +357,9 @@ class Bottleneck(nn.Module):
                  # stride 2 (reference parity, torchvision Bottleneck)
                  padding=[(1, 1), (1, 1)],
                  feature_group_count=self.groups,
-                 # keep the auto-name slot stable across both 1x1 forms
-                 name="Conv_1" if self.dot_1x1 else None)(y), "conv_out")
+                 # keep the auto-name slot stable across all conv forms
+                 name="Conv_1" if (self.dot_1x1 or self.quantized)
+                 else None)(y), "conv_out")
         y = self.norm(name="bn2")(y)
         y = nn.relu(y)
         y = checkpoint_name(pointwise(pw2, self.filters * 4)(y), "conv_out")
@@ -376,11 +429,37 @@ class ResNet50(nn.Module):
     # Residual-boundary ReLU gates saved as int8 (backward reads the 1-byte
     # mask instead of the bf16 pre-sum; experimental/fused_block.masked_add_relu).
     boundary_mask: bool = False
+    # Folded inference graph: every batch-norm's running-statistics affine
+    # map is absorbed into the preceding convolution's kernel + a bias
+    # term (optimize.fold_batchnorm), so the norm slots are identity and
+    # batch_stats is empty.  Inference only — there are no statistics to
+    # update.  Parameters come from optimize.fold_batchnorm, NOT from a
+    # training checkpoint.
+    folded: bool = False
+    # Int8 PTQ graph (requires folded): block convs are QuantConv
+    # (models/quant.py) — int8 MXU matmuls, dequant+bias epilogues.  The
+    # stem conv and the two Dense heads stay bf16 (standard first/last-
+    # layer exemption; they are a few % of the FLOPs).  Parameters come
+    # from optimize.quantize_params, NOT from a training checkpoint.
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        if self.bn_stats_rows > 0:
+        if self.quantized and not self.folded:
+            raise ValueError("quantized inference requires the folded "
+                             "graph (optimize.quantize_model sets both)")
+        if self.folded:
+            if train:
+                raise ValueError("a folded model is inference-only "
+                                 "(batch-norm was absorbed into the convs; "
+                                 "there are no statistics to train)")
+            if self.fused_blocks or self.boundary_mask:
+                raise ValueError("folded inference is not supported with "
+                                 "fused_blocks/boundary_mask (training "
+                                 "experiments)")
+            norm = _identity_norm
+        elif self.bn_stats_rows > 0:
             from .norm import SubsetBatchNorm
             norm = partial(SubsetBatchNorm, use_running_average=not train,
                            momentum=BN_MOMENTUM, epsilon=BN_EPSILON,
@@ -393,11 +472,11 @@ class ResNet50(nn.Module):
         x = x.astype(self.dtype)
         if self.space_to_depth:
             x = SpaceToDepthStem(features=self.width, dtype=self.dtype,
-                                 name="conv_init")(x)
+                                 use_bias=self.folded, name="conv_init")(x)
         else:
             x = nn.Conv(self.width, (7, 7), strides=(2, 2),
                         padding=[(3, 3), (3, 3)],
-                        use_bias=False, dtype=self.dtype,
+                        use_bias=self.folded, dtype=self.dtype,
                         kernel_init=conv_kernel_init, name="conv_init")(x)
         x = norm(name="bn_init")(x)
         x = nn.relu(x)
@@ -425,6 +504,10 @@ class ResNet50(nn.Module):
                                 bn_epsilon=BN_EPSILON)
         if self.boundary_mask:
             block_kwargs["boundary_mask"] = True
+        if self.folded:
+            block_kwargs["folded"] = True
+        if self.quantized:
+            block_kwargs["quantized"] = True
         mode = {False: "none", None: "none", True: "blocks"}.get(
             self.remat, self.remat)
         if mode == "blocks":

@@ -108,6 +108,11 @@ def get_args(argv=None):
                              "CSV) — the serving-side analogue of "
                              "evaluate_imagenet's arrays for downstream "
                              "open-set analysis")
+    parser.add_argument("--optimize", choices=("fold_bn",), default=None,
+                        help="Inference-graph optimization (checkpoints "
+                             "only): fold_bn folds every batch-norm into "
+                             "the preceding convolution — bf16-rounding-"
+                             "equal predictions from a leaner graph")
     parser.add_argument("--gpu", "-g", type=int, nargs="?", default=None,
                         const=0,
                         help="Pin inference to this device index")
@@ -217,7 +222,8 @@ def main(argv=None):
         args.checkpoint, n_classes=args.n_classes,
         variant=args.model_variant, image_size=args.image_size,
         threshold=args.threshold, mode=args.mode,
-        has_background=args.background, mesh=mesh)
+        has_background=args.background, mesh=mesh,
+        optimize=args.optimize)
         if paths else None)
     if predictor is not None and args.threshold_at_fpr is not None:
         # After construction so the calibration measure matches the

@@ -1,0 +1,190 @@
+"""Batch-norm folding for inference (optimize.fold_batchnorm).
+
+The folded graph (``ResNet50(folded=True)``: biased convs, identity norm
+slots, empty batch_stats) must be arithmetically the eval forward — in
+float32 the fold is exact to rounding; in bf16 only the rounding placement
+moves.  Locked per model family (basic / bottleneck / grouped / S2D stem /
+ghost-BN), at the parameter-tree level (fold output == folded-init tree),
+and end to end through OpenSetPredictor / the predict CLI.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from openset_imagenet_tpu import train as engine
+from openset_imagenet_tpu.models.resnet import build_resnet
+from openset_imagenet_tpu.optimize import (fold_batchnorm, fold_inference,
+                                           fold_model)
+from tests.test_engine import tiny_cfg, write_protocol_csvs
+
+
+def _trained_variables(model, key=0, image_size=32, batch=8):
+    """Init + one train-mode forward, so running stats are non-trivial
+    (fresh init has mean=0/var=1, which would make the fold degenerate).
+    Parameters are also jittered so BN scale=1/bias=0 inits (and the
+    zero-init bn3 scale) don't hide broadcasting mistakes.
+    """
+    rng = jax.random.PRNGKey(key)
+    dummy = jnp.zeros((1, image_size, image_size, 3), jnp.float32)
+    variables = model.init(rng, dummy, train=False)
+    leaves, treedef = jax.tree.flatten(variables["params"])
+    keys = jax.random.split(jax.random.fold_in(rng, 1), len(leaves))
+    leaves = [l + 0.05 * jax.random.normal(k, l.shape, l.dtype)
+              for l, k in zip(leaves, keys)]
+    params = jax.tree.unflatten(treedef, leaves)
+    x = jax.random.uniform(jax.random.fold_in(rng, 2),
+                           (batch, image_size, image_size, 3))
+    _, mutated = model.apply({"params": params,
+                              "batch_stats": variables["batch_stats"]},
+                             x, train=True, mutable=["batch_stats"])
+    return {"params": params, "batch_stats": mutated["batch_stats"]}, x
+
+
+@pytest.mark.parametrize("variant,kwargs", [
+    ("tiny", {}),                          # BasicBlock
+    ("tiny50", {}),                        # Bottleneck
+    ("tinyx", {}),                         # grouped Bottleneck (ResNeXt)
+    ("tiny50", {"space_to_depth": True}),  # S2D stem
+    ("tiny50", {"bn_stats_rows": 4}),      # ghost BN (same running stats)
+])
+def test_fold_matches_eval_forward_f32(variant, kwargs):
+    model = build_resnet(variant, fc_layer_dim=3, out_features=3,
+                         dtype=jnp.float32, **kwargs)
+    variables, x = _trained_variables(model)
+    ref_logits, ref_feats = model.apply(variables, x, train=False)
+
+    fmodel = fold_model(model)
+    fparams = fold_batchnorm(variables["params"], variables["batch_stats"])
+    logits, feats = fmodel.apply({"params": fparams, "batch_stats": {}},
+                                 x, train=False)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(ref_logits),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(feats), np.asarray(ref_feats),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_fold_bf16_is_rounding_close():
+    model = build_resnet("tiny50", fc_layer_dim=3, out_features=3)
+    variables, x = _trained_variables(model, key=3)
+    ref_logits, _ = model.apply(variables, x, train=False)
+    fmodel = fold_model(model)
+    fparams = fold_batchnorm(variables["params"], variables["batch_stats"])
+    logits, _ = fmodel.apply({"params": fparams, "batch_stats": {}},
+                             x, train=False)
+    # bf16 compute: only the rounding placement differs between graphs.
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(ref_logits),
+                               rtol=0.05, atol=0.05)
+
+
+@pytest.mark.parametrize("variant,kwargs", [
+    ("tiny", {}),
+    ("tinyx", {}),
+    ("tiny50", {"space_to_depth": True}),
+])
+def test_folded_params_match_folded_init_tree(variant, kwargs):
+    """Fold output loads into the folded module: same paths, same shapes."""
+    model = build_resnet(variant, fc_layer_dim=3, out_features=3, **kwargs)
+    variables, _ = _trained_variables(model, key=5)
+    fparams = fold_batchnorm(variables["params"], variables["batch_stats"])
+
+    fmodel = fold_model(model)
+    finit = fmodel.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 32, 32, 3), jnp.float32), train=False)
+    got = {jax.tree_util.keystr(p): np.shape(v) for p, v in
+           jax.tree_util.tree_leaves_with_path(fparams)}
+    want = {jax.tree_util.keystr(p): np.shape(v) for p, v in
+            jax.tree_util.tree_leaves_with_path(finit["params"])}
+    assert got == want
+    assert finit.get("batch_stats", {}) == {}
+
+
+def test_fold_rejects_untrained_or_drifted_trees():
+    model = build_resnet("tiny50", fc_layer_dim=3, out_features=3)
+    variables, _ = _trained_variables(model, key=7)
+    with pytest.raises(ValueError, match="running statistics"):
+        fold_batchnorm(variables["params"], {})
+    params = dict(variables["params"])
+    params.pop("conv_init")  # orphan bn_init
+    with pytest.raises(ValueError, match="no paired conv"):
+        fold_batchnorm(params, variables["batch_stats"])
+
+
+def test_folded_model_is_inference_only():
+    model = build_resnet("tiny50", fc_layer_dim=3, out_features=3)
+    fmodel = fold_model(model)
+    x = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    with pytest.raises(ValueError, match="inference-only"):
+        fmodel.init(jax.random.PRNGKey(0), x, train=True)
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    root = tmp_path_factory.mktemp("fold")
+    write_protocol_csvs(root)
+    cfg = tiny_cfg(root, "entropic", epochs=1)
+    engine.worker(cfg)
+    return cfg.output_directory / "entropic_curr.pth"
+
+
+def test_predictor_fold_bn_matches_unoptimized(trained):
+    from openset_imagenet_tpu.inference import OpenSetPredictor
+
+    images = np.random.default_rng(0).integers(
+        0, 256, (8, 32, 32, 3), np.uint8)
+    base = OpenSetPredictor(trained, image_size=32)
+    folded = OpenSetPredictor(trained, image_size=32, optimize="fold_bn")
+    c0, s0, f0, a0 = base.predict(images, return_arrays=True)
+    c1, s1, f1, a1 = folded.predict(images, return_arrays=True)
+    np.testing.assert_array_equal(c0, c1)
+    np.testing.assert_allclose(s1, s0, rtol=0.05, atol=0.02)
+    np.testing.assert_allclose(a1, a0, rtol=0.05, atol=0.02)
+
+    with pytest.raises(ValueError, match="unknown optimize"):
+        OpenSetPredictor(trained, image_size=32, optimize="int4")
+
+
+def test_fold_inference_state_drops_batch_stats(trained):
+    import optax
+
+    from openset_imagenet_tpu.checkpoint import load_checkpoint
+
+    model = build_resnet("tiny", fc_layer_dim=3, out_features=3)
+    state = engine.create_state(model, jax.random.PRNGKey(0),
+                                optax.identity(), image_size=32)
+    state, _, _ = load_checkpoint(trained, state, restore_opt=False)
+    fmodel, fstate = fold_inference(model, state)
+    assert fstate.batch_stats == {}
+    assert fstate.apply_fn == fmodel.apply  # same bound module
+    fwd = engine.make_forward_step()
+    logits, feats, scores = fwd(
+        fstate, np.zeros((2, 32, 32, 3), np.uint8))
+    assert np.asarray(logits).shape == (2, 3)
+
+
+def test_predict_cli_optimize_fold_bn(trained, tmp_path):
+    """--optimize fold_bn: same predicted classes through the CLI."""
+    import csv
+
+    from PIL import Image
+
+    from openset_imagenet_tpu.script.predict import main as predict_main
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.default_rng(1)
+    for i in range(3):
+        Image.fromarray(rng.integers(0, 256, (32, 32, 3), np.uint8)).save(
+            img_dir / f"im{i}.jpg")
+
+    def run(out, *extra):
+        predict_main([str(trained), "auto", str(img_dir),
+                      "--image-size", "32", "-o", str(out), *extra])
+        with open(out) as f:
+            return {r["path"]: r["prediction"]
+                    for r in csv.DictReader(f)}
+
+    plain = run(tmp_path / "plain.csv")
+    folded = run(tmp_path / "folded.csv", "--optimize", "fold_bn")
+    assert plain == folded
