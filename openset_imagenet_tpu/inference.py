@@ -58,7 +58,7 @@ class OpenSetPredictor:
                  variant: str | None = None, image_size: int | None = None,
                  threshold: float | None = None, mode: str | None = None,
                  has_background: bool | None = None, mesh=None,
-                 optimize: str | None = None):
+                 optimize: str | None = None, calibration=None):
         """Args:
             checkpoint: path to a ``.pth`` checkpoint from training, or
                 an exported ``.stablehlo`` serving artifact
@@ -96,7 +96,18 @@ class OpenSetPredictor:
                 ``"fold_bn"`` folds every batch-norm into the preceding
                 convolution (:mod:`openset_imagenet_tpu.optimize`);
                 predictions are bf16-rounding-equal to the unoptimized
-                graph.  ``None`` (default) serves the training graph.
+                graph.  ``"int8"`` additionally quantizes the block
+                convolutions to symmetric int8 (2x MXU rate, half the
+                activation HBM traffic; needs ``calibration``) — small
+                quantization noise on the scores, tests bound the
+                class-decision agreement.  ``None`` (default) serves the
+                training graph.
+            calibration: for ``optimize="int8"``: activation-range
+                calibration inputs — a uint8 ``[N, H, W, 3]`` array or an
+                iterable of image paths (decoded like ``predict``
+                inputs).  A few hundred images drawn from the serving
+                distribution is plenty; the prediction inputs themselves
+                work (``predict_imagenet`` self-calibrates this way).
 
         ``threshold`` / ``mode`` / ``has_background`` left as ``None``
         resolve from the artifact's serving-config sidecar
@@ -115,9 +126,17 @@ class OpenSetPredictor:
                 "TF runtime (tf_export.load_savedmodel / TF-Serving). "
                 "This predictor serves checkpoints or StableHLO "
                 f"bundles ({ARTIFACT_SUFFIX}).")
-        if optimize not in (None, "fold_bn"):
+        if optimize not in (None, "fold_bn", "int8"):
             raise ValueError(f"unknown optimize mode {optimize!r}; choose "
-                             "'fold_bn' (or None for the training graph)")
+                             "'fold_bn' or 'int8' (or None for the "
+                             "training graph)")
+        if optimize == "int8" and calibration is None:
+            raise ValueError(
+                "optimize='int8' needs calibration= (a uint8 image array "
+                "or image paths) to set the activation scales")
+        if calibration is not None and optimize != "int8":
+            raise ValueError("calibration= only applies to optimize='int8'")
+        self._reader = None
         if str(checkpoint).endswith(ARTIFACT_SUFFIX):
             if optimize is not None:
                 raise ValueError(
@@ -138,7 +157,8 @@ class OpenSetPredictor:
             self.image_size = 224 if image_size is None else int(image_size)
             self.n_classes = int(n_classes)
             self._init_from_checkpoint(checkpoint, self.n_classes, variant,
-                                       self.image_size, mesh, optimize)
+                                       self.image_size, mesh, optimize,
+                                       calibration)
         if threshold is None:
             threshold = self.meta.get("threshold", 0.0)
         self.threshold = float(threshold)
@@ -151,7 +171,6 @@ class OpenSetPredictor:
         if has_background is None:
             has_background = self.meta.get("has_background", False)
         self.has_background = bool(has_background)
-        self._reader = None
 
     def _init_from_artifact(self, path, n_classes, image_size,
                             mesh) -> None:
@@ -196,7 +215,8 @@ class OpenSetPredictor:
 
     def _init_from_checkpoint(self, checkpoint, n_classes: int,
                               variant: str | None, image_size: int,
-                              mesh, optimize: str | None = None) -> None:
+                              mesh, optimize: str | None = None,
+                              calibration=None) -> None:
         import optax
 
         from . import train as engine
@@ -216,6 +236,22 @@ class OpenSetPredictor:
             from .optimize import fold_inference
 
             _, state = fold_inference(model, state)
+        elif optimize == "int8":
+            from .optimize import quantize_inference
+
+            images = self._load_images(calibration)
+            if images.shape[0] == 0:
+                raise ValueError("optimize='int8': calibration is empty")
+            if images.shape[1:3] != (image_size, image_size):
+                raise ValueError(
+                    f"calibration images are {images.shape[1:3]}, the "
+                    f"model expects {(image_size, image_size)}")
+            # Chunk so calibration reuses a couple of compiled shapes.
+            chunks = [images[i:i + 64]
+                      for i in range(0, images.shape[0], 64)]
+            if len(chunks) > 1 and chunks[-1].shape[0] != 64:
+                chunks[-1] = images[-64:]  # full-size tail, no 2nd compile
+            _, state = quantize_inference(model, state, chunks)
         # Commit the weights to device once; numpy leaves would otherwise
         # re-transfer the whole model on every predict() call.
         if mesh is not None:

@@ -15,8 +15,10 @@ import pytest
 
 from openset_imagenet_tpu import train as engine
 from openset_imagenet_tpu.models.resnet import build_resnet
-from openset_imagenet_tpu.optimize import (fold_batchnorm, fold_inference,
-                                           fold_model)
+from openset_imagenet_tpu.optimize import (calibrate_amax, fold_batchnorm,
+                                           fold_inference, fold_model,
+                                           quantize_inference,
+                                           quantize_model, quantize_params)
 from tests.test_engine import tiny_cfg, write_protocol_csvs
 
 
@@ -161,6 +163,161 @@ def test_fold_inference_state_drops_batch_stats(trained):
     logits, feats, scores = fwd(
         fstate, np.zeros((2, 32, 32, 3), np.uint8))
     assert np.asarray(logits).shape == (2, 3)
+
+
+# ---------------------------------------------------------------------------
+# Int8 PTQ (optimize.quantize_*)
+
+
+@pytest.mark.parametrize("variant,kwargs", [
+    ("tiny", {}),                          # BasicBlock
+    ("tiny50", {}),                        # Bottleneck
+    ("tinyx", {}),                         # grouped Bottleneck (ResNeXt)
+    ("tiny50", {"space_to_depth": True}),  # S2D stem
+])
+def test_int8_close_to_eval_forward_f32(variant, kwargs):
+    """Quantization noise is bounded and the class decisions agree."""
+    model = build_resnet(variant, fc_layer_dim=3, out_features=3,
+                         dtype=jnp.float32, **kwargs)
+    variables, x = _trained_variables(model, key=11)
+    state = engine.create_state(model, jax.random.PRNGKey(0),
+                                __import__("optax").identity(),
+                                image_size=32)
+    state = state.replace(params=variables["params"],
+                          batch_stats=variables["batch_stats"])
+    ref_logits, ref_feats = model.apply(variables, x, train=False)
+
+    qmodel, qstate = quantize_inference(model, state, [x])
+    logits, feats = qmodel.apply({"params": qstate.params,
+                                  "batch_stats": {}}, x, train=False)
+    scale = float(jnp.max(jnp.abs(ref_logits))) + 1e-6
+    err = float(jnp.max(jnp.abs(logits - ref_logits)))
+    assert err < 0.05 * scale
+    # Class decisions agree wherever the reference decision is not a
+    # near-tie (randomly-jittered toy models produce logit gaps below the
+    # quantization noise; trained-model agreement is locked exactly in
+    # test_predictor_int8_matches_unoptimized_classes).
+    ref = np.sort(np.asarray(ref_logits), axis=-1)
+    margin = ref[:, -1] - ref[:, -2]
+    decided = margin > 2 * err
+    assert decided.any()
+    np.testing.assert_array_equal(
+        np.argmax(np.asarray(logits), -1)[decided],
+        np.argmax(np.asarray(ref_logits), -1)[decided])
+
+
+def test_int8_param_tree_matches_quantized_init():
+    """quantize_params output loads into the quantized module: same
+    paths, same shapes, int8 kernels."""
+    model = build_resnet("tiny50", fc_layer_dim=3, out_features=3)
+    variables, x = _trained_variables(model, key=13)
+    fparams = fold_batchnorm(variables["params"], variables["batch_stats"])
+    fmodel = fold_model(model)
+    amax = calibrate_amax(fmodel, fparams, [x])
+    qparams = quantize_params(fparams, amax)
+
+    qmodel = quantize_model(model)
+    qinit = qmodel.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 32, 32, 3), jnp.float32), train=False)
+    got = {jax.tree_util.keystr(p): (np.shape(v), np.asarray(v).dtype)
+           for p, v in jax.tree_util.tree_leaves_with_path(qparams)}
+    want = {jax.tree_util.keystr(p): (np.shape(v), np.asarray(v).dtype)
+            for p, v in jax.tree_util.tree_leaves_with_path(qinit["params"])}
+    assert got == want
+    kernels = [v for p, v in jax.tree_util.tree_leaves_with_path(qparams)
+               if "Conv" in jax.tree_util.keystr(p)
+               and jax.tree_util.keystr(p).endswith("'kernel']")]
+    assert kernels and all(np.asarray(k).dtype == np.int8 for k in kernels)
+
+
+def test_int8_calibration_covers_batches():
+    """amax is the max over ALL calibration batches, not just the last."""
+    model = build_resnet("tiny50", fc_layer_dim=3, out_features=3,
+                         dtype=jnp.float32)
+    variables, x = _trained_variables(model, key=17)
+    fparams = fold_batchnorm(variables["params"], variables["batch_stats"])
+    fmodel = fold_model(model)
+    small = calibrate_amax(fmodel, fparams, [0.01 * x])
+    both = calibrate_amax(fmodel, fparams, [0.01 * x, x])
+    only = calibrate_amax(fmodel, fparams, [x])
+    assert set(small) == set(both) == set(only)
+    for key in both:
+        assert both[key] == pytest.approx(only[key])
+        assert small[key] <= both[key]
+
+
+def test_int8_error_paths():
+    model = build_resnet("tiny50", fc_layer_dim=3, out_features=3)
+    variables, x = _trained_variables(model, key=19)
+    fparams = fold_batchnorm(variables["params"], variables["batch_stats"])
+    with pytest.raises(ValueError, match="no calibration record"):
+        quantize_params(fparams, {})
+    # The unfolded tree (no conv biases) must be rejected even with a
+    # valid calibration (the conv slot paths are identical pre/post fold).
+    amax = calibrate_amax(fold_model(model), fparams,
+                          [jnp.zeros((2, 32, 32, 3), jnp.float32)])
+    with pytest.raises(ValueError, match="FOLDED"):
+        quantize_params(variables["params"], amax)
+    # quantized requires folded
+    with pytest.raises(ValueError, match="requires the folded"):
+        model.clone(quantized=True).init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)), train=False)
+
+
+def test_predictor_int8_matches_unoptimized_classes(trained):
+    from openset_imagenet_tpu.inference import OpenSetPredictor
+
+    images = np.random.default_rng(2).integers(
+        0, 256, (8, 32, 32, 3), np.uint8)
+    base = OpenSetPredictor(trained, image_size=32)
+    quant = OpenSetPredictor(trained, image_size=32, optimize="int8",
+                             calibration=images)
+    c0, s0 = base.predict(images)
+    c1, s1 = quant.predict(images)
+    np.testing.assert_array_equal(c0, c1)
+    np.testing.assert_allclose(s1, s0, rtol=0.1, atol=0.05)
+
+    with pytest.raises(ValueError, match="needs calibration"):
+        OpenSetPredictor(trained, image_size=32, optimize="int8")
+    with pytest.raises(ValueError, match="only applies"):
+        OpenSetPredictor(trained, image_size=32, calibration=images)
+    with pytest.raises(ValueError, match="calibration is empty"):
+        OpenSetPredictor(trained, image_size=32, optimize="int8",
+                         calibration=np.zeros((0, 32, 32, 3), np.uint8))
+    with pytest.raises(ValueError, match="model expects"):
+        OpenSetPredictor(trained, image_size=32, optimize="int8",
+                         calibration=np.zeros((2, 16, 16, 3), np.uint8))
+
+
+def test_predict_cli_optimize_int8(trained, tmp_path):
+    """--optimize int8 self-calibrates on the inputs; same classes."""
+    import csv
+
+    from PIL import Image
+
+    from openset_imagenet_tpu.script.predict import main as predict_main
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.default_rng(3)
+    for i in range(4):
+        Image.fromarray(rng.integers(0, 256, (32, 32, 3), np.uint8)).save(
+            img_dir / f"im{i}.jpg")
+
+    def run(out, *extra):
+        predict_main([str(trained), "auto", str(img_dir),
+                      "--image-size", "32", "-o", str(out), *extra])
+        with open(out) as f:
+            return {r["path"]: r["prediction"]
+                    for r in csv.DictReader(f)}
+
+    plain = run(tmp_path / "plain.csv")
+    quant = run(tmp_path / "quant.csv", "--optimize", "int8")
+    assert plain == quant
+    # explicit calibration source
+    quant2 = run(tmp_path / "quant2.csv", "--optimize", "int8",
+                 "--calibration-images", str(img_dir))
+    assert plain == quant2
 
 
 def test_predict_cli_optimize_fold_bn(trained, tmp_path):
