@@ -265,6 +265,62 @@ def run_forward_cost(name, batch, **kw):
     del state, arrays
 
 
+def run_forward_optimized(name, batch, optimize):
+    """Optimized serving graphs (optimize.py) vs the bf16 eval forward.
+
+    ``fold_bn``: BN affine maps folded into the convs (expected ~parity —
+    XLA already fuses the eval-mode affine into the conv epilogue; the
+    fold's value is enabling int8).  ``int8``: symmetric PTQ of the block
+    convs — int8 MXU matmuls (2x bf16 rate on v5e) and int8 activations
+    (half the HBM bytes), targeting the 12.2k imgs/s mixed-bound serving
+    ceiling (BENCH.md round-4).  Random weights/scales: the timed XLA
+    program is identical to a trained model's.
+    """
+    from openset_imagenet_tpu import train as engine
+    from openset_imagenet_tpu.config import NameSpace
+    from openset_imagenet_tpu.models.resnet import build_resnet
+    from openset_imagenet_tpu.optimize import (fold_inference,
+                                               quantize_inference)
+
+    t0 = time.time()
+    model = build_resnet("resnet50", fc_layer_dim=1000, out_features=1000,
+                         logit_bias=False, space_to_depth=True,
+                         bn_stats_rows=64)
+    tx = engine.build_optimizer(
+        NameSpace({"type": "adam", "lr": 1e-3, "decay": 0, "gamma": 1}), 1)
+    state = engine.create_state(model, jax.random.PRNGKey(0), tx)
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.integers(0, 256, (batch, 224, 224, 3),
+                                      np.uint8))
+    if optimize == "fold_bn":
+        _, state = fold_inference(model, state)
+    elif optimize == "int8":
+        _, state = quantize_inference(model, state, [images])
+    else:
+        raise ValueError(optimize)
+    fwd = engine.make_forward_step()
+    ca = {}
+    try:
+        ca = fwd.lower(state, images).compile().cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+    except Exception:
+        pass
+    rate = time_forward(fwd, state, images, batch)
+    step_s = batch / rate
+    emit(variant=name, batch=batch, optimize=optimize,
+         imgs_per_sec=round(rate, 1),
+         ms_per_step=round(1000.0 * step_s, 2),
+         bytes_per_step_gb=round(float(ca.get("bytes accessed", 0)) / 1e9,
+                                 2),
+         sustained_gbps=round(float(ca.get("bytes accessed", 0))
+                              / step_s / 1e9, 0),
+         tflops_effective=round(float(ca.get("flops", 0)) / step_s / 1e12,
+                                1),
+         build_s=round(time.time() - t0, 1))
+    del state, images
+
+
 def run_forward_artifact(name, batch, **kw):
     """Exported-artifact serving vs the live jitted forward, same chip.
 
@@ -355,6 +411,17 @@ VARIANTS = {
         {"xla_tpu_enable_latency_hiding_scheduler": "true",
          "xla_tpu_scoped_vmem_limit_kib": "65536"}),
     "fwd_artifact": lambda: run_forward_artifact("fwd_artifact", 256),
+    # Optimized serving graphs (optimize.py: BN fold / int8 PTQ).
+    "fwd_fold256": lambda: run_forward_optimized("fwd_fold256", 256,
+                                                 "fold_bn"),
+    "fwd_int8_64": lambda: run_forward_optimized("fwd_int8_64", 64,
+                                                 "int8"),
+    "fwd_int8_256": lambda: run_forward_optimized("fwd_int8_256", 256,
+                                                  "int8"),
+    "fwd_int8_512": lambda: run_forward_optimized("fwd_int8_512", 512,
+                                                  "int8"),
+    "fwd_int8_1024": lambda: run_forward_optimized("fwd_int8_1024", 1024,
+                                                   "int8"),
     "fwd_cost64": lambda: run_forward_cost("fwd_cost64", 64),
     "fwd_cost128": lambda: run_forward_cost("fwd_cost128", 128),
     "fwd_cost256": lambda: run_forward_cost("fwd_cost256", 256),
