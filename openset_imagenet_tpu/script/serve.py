@@ -76,6 +76,21 @@ def get_args(argv=None):
                              "(resnet50 for checkpoints without "
                              "metadata, e.g. the reference's)")
     parser.add_argument("--image-size", type=int, default=None)
+    parser.add_argument("--optimize", choices=("fold_bn", "int8"),
+                        default=None,
+                        help="Inference-graph optimization (checkpoints "
+                             "only; exported artifacts bake theirs at "
+                             "export time): fold_bn folds batch-norms "
+                             "into the convs; int8 additionally "
+                             "quantizes the block convs (+19-39%% "
+                             "measured device throughput; needs "
+                             "--calibration-images)")
+    parser.add_argument("--calibration-images", nargs="+", metavar="SPEC",
+                        default=None,
+                        help="Activation-range calibration inputs for "
+                             "--optimize int8: image files, directories, "
+                             "or listings, drawn from the serving "
+                             "distribution")
     parser.add_argument("--gpu", "-g", type=int, nargs="?", default=None,
                         const=0,
                         help="Pin serving to this device index")
@@ -94,6 +109,13 @@ def get_args(argv=None):
                          "mutually exclusive")
     elif args.calibrate is not None:
         parser.error("--calibrate does nothing without --threshold-at-fpr")
+    if args.optimize == "int8" and args.calibration_images is None:
+        parser.error("--optimize int8 needs --calibration-images "
+                     "(no prediction inputs exist at daemon startup to "
+                     "self-calibrate on)")
+    if args.calibration_images is not None and args.optimize != "int8":
+        parser.error("--calibration-images does nothing without "
+                     "--optimize int8")
     return args
 
 
@@ -114,11 +136,24 @@ def main(argv=None):
     if args.devices is not None:
         from ..parallel.mesh import make_mesh
         mesh = make_mesh(num_devices=args.devices)
+    calibration = None
+    if args.optimize == "int8":
+        import pathlib
+
+        from .predict import collect_paths
+
+        calibration = collect_paths(args.calibration_images,
+                                    pathlib.Path("."))
+        if not calibration:
+            log.error("--calibration-images matched no images")
+            return 1
+        log.info(f"int8 calibration on {len(calibration)} images")
     predictor = OpenSetPredictor(
         args.checkpoint, n_classes=args.n_classes,
         variant=args.model_variant, image_size=args.image_size,
         threshold=args.threshold, mode=args.mode,
-        has_background=args.background, mesh=mesh)
+        has_background=args.background, mesh=mesh,
+        optimize=args.optimize, calibration=calibration)
     if args.threshold_at_fpr is not None:
         predictor.threshold = calibrate_threshold(
             args.calibrate, args.threshold_at_fpr, predictor.mode,

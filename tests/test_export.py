@@ -346,3 +346,51 @@ def test_export_cli_writes_and_validates(trained, tmp_path, monkeypatch):
     written = cli.main(["ck.pth", "3", "--model-variant", "tiny",
                         "--image-size", "32", "--platforms", "cpu"])
     assert written.endswith("ck.stablehlo")
+
+
+def test_int8_export_roundtrip_and_cli(trained, tmp_path):
+    """An int8-optimized graph exports (scales baked in — the deployment
+    site needs no calibration data) and matches the live int8 forward;
+    the CLI wires --optimize int8 --calibration-images and records the
+    mode in the sidecar."""
+    from PIL import Image
+
+    from openset_imagenet_tpu.export import (build_serving_fn,
+                                             export_serving, load_serving,
+                                             read_metadata, save_exported)
+    from openset_imagenet_tpu.script import export as cli
+
+    rng = np.random.default_rng(21)
+    calib = rng.integers(0, 256, (8, 32, 32, 3), dtype=np.uint8)
+    exported = export_serving(trained, 3, variant="tiny", image_size=32,
+                              optimize="int8", calibration=calib,
+                              platforms=("cpu",))
+    fn = load_serving(save_exported(exported, tmp_path / "q.stablehlo"))
+    live = build_serving_fn(trained, 3, variant="tiny", image_size=32,
+                            optimize="int8", calibration=calib)
+    for n in (2, 5):  # symbolic batch survives the optimized graph
+        imgs = rng.integers(0, 256, (n, 32, 32, 3), dtype=np.uint8)
+        for g, w, name in zip(fn(imgs), live(imgs),
+                              ("logits", "features", "scores"),
+                              strict=True):
+            assert_close_bf16(g, w, name)
+
+    img_dir = tmp_path / "calib"
+    img_dir.mkdir()
+    for i in range(3):
+        Image.fromarray(rng.integers(0, 256, (32, 32, 3), np.uint8)).save(
+            img_dir / f"c{i}.jpg")
+    art = tmp_path / "cli_q.stablehlo"
+    cli.main([str(trained), "3", "--model-variant", "tiny",
+              "--image-size", "32", "--platforms", "cpu", "-o", str(art),
+              "--optimize", "int8", "--calibration-images", str(img_dir),
+              "--validate"])
+    assert read_metadata(art)["optimize"] == "int8"
+
+    # Arg contract: int8 needs calibration images; calibration images
+    # need int8.
+    with pytest.raises(SystemExit):
+        cli.main([str(trained), "3", "-o", str(art), "--optimize", "int8"])
+    with pytest.raises(SystemExit):
+        cli.main([str(trained), "3", "-o", str(art),
+                  "--calibration-images", str(img_dir)])

@@ -464,3 +464,40 @@ def test_decode_to_input_matches_eval_geometry(trained, tmp_path):
         want = reader(str(path), None)
     got = decode_to_input(path.read_bytes(), 32)
     np.testing.assert_array_equal(got, want)
+
+
+def test_int8_predictor_behind_daemon_matches_offline(trained):
+    """An int8-optimized predictor serves through the daemon with the
+    same decisions as offline int8 prediction; the serve CLI enforces
+    the --optimize int8 <-> --calibration-images contract."""
+    from openset_imagenet_tpu.inference import OpenSetPredictor
+    from openset_imagenet_tpu.serve import PredictionServer
+
+    root, cfg = trained
+    rng = np.random.default_rng(31)
+    calib = rng.integers(0, 256, (8, 32, 32, 3), dtype=np.uint8)
+    quant = OpenSetPredictor(cfg.output_directory / "entropic_best.pth",
+                             n_classes=3, variant="tiny", image_size=32,
+                             optimize="int8", calibration=calib)
+    srv = PredictionServer(("127.0.0.1", 0), quant,
+                           max_batch=8, window_ms=0.0).start()
+    try:
+        blob = _jpeg_bytes(5)
+        out = _post(srv, blob, "image/jpeg")
+        want_pred, want_score = _predictor_reference(quant, blob)
+        assert out["prediction"] == want_pred
+        assert abs(out["score"] - want_score) < 1e-6
+    finally:
+        srv.close()
+
+
+def test_serve_cli_int8_arg_contract():
+    from openset_imagenet_tpu.script.serve import get_args
+
+    with pytest.raises(SystemExit):
+        get_args(["ck.pth", "3", "--optimize", "int8"])
+    with pytest.raises(SystemExit):
+        get_args(["ck.pth", "3", "--calibration-images", "x/"])
+    args = get_args(["ck.pth", "3", "--optimize", "int8",
+                     "--calibration-images", "x/"])
+    assert args.optimize == "int8"
