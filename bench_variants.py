@@ -265,7 +265,7 @@ def run_forward_cost(name, batch, **kw):
     del state, arrays
 
 
-def run_forward_optimized(name, batch, optimize):
+def run_forward_optimized(name, batch, optimize, model_variant="resnet50"):
     """Optimized serving graphs (optimize.py) vs the bf16 eval forward.
 
     ``fold_bn``: BN affine maps folded into the convs (expected ~parity —
@@ -283,7 +283,8 @@ def run_forward_optimized(name, batch, optimize):
                                                quantize_inference)
 
     t0 = time.time()
-    model = build_resnet("resnet50", fc_layer_dim=1000, out_features=1000,
+    model = build_resnet(model_variant, fc_layer_dim=1000,
+                         out_features=1000,
                          logit_bias=False, space_to_depth=True,
                          bn_stats_rows=64)
     tx = engine.build_optimizer(
@@ -422,6 +423,18 @@ VARIANTS = {
                                                   "int8"),
     "fwd_int8_1024": lambda: run_forward_optimized("fwd_int8_1024", 1024,
                                                    "int8"),
+    # Grouped-conv family: MXU-utilization-bound in bf16 (BENCH.md
+    # round-4 addendum), so int8's 2x MXU rate should bite harder.
+    "fwd_rx50_256": lambda: run_forward("fwd_rx50_256", 256,
+                                        model_variant="resnext50_32x4d"),
+    "fwd_int8_rx50_256": lambda: run_forward_optimized(
+        "fwd_int8_rx50_256", 256, "int8",
+        model_variant="resnext50_32x4d"),
+    "fwd_w50_256": lambda: run_forward("fwd_w50_256", 256,
+                                       model_variant="wide_resnet50_2"),
+    "fwd_int8_w50_256": lambda: run_forward_optimized(
+        "fwd_int8_w50_256", 256, "int8",
+        model_variant="wide_resnet50_2"),
     "fwd_cost64": lambda: run_forward_cost("fwd_cost64", 64),
     "fwd_cost128": lambda: run_forward_cost("fwd_cost128", 128),
     "fwd_cost256": lambda: run_forward_cost("fwd_cost256", 256),

@@ -674,3 +674,28 @@ def test_calibrate_threshold_mode_and_background_branches(tmp_path):
     # [0.9, 0.9, 0.9, 0.9]; FPR 0 -> above 0.9.
     t_nb = calibrate_threshold(path, 0.0, "softmax", False)
     assert t_nb > 0.9
+
+
+def test_mesh_predictor_int8_matches_single_device(trained):
+    """The quantized serving graph shards over a mesh like the bf16 one
+    (replicated int8 weights, batch-sharded forward, no collectives)."""
+    from openset_imagenet_tpu.inference import OpenSetPredictor
+    from openset_imagenet_tpu.parallel.mesh import make_mesh
+
+    root, cfg = trained
+    ckpt = cfg.output_directory / "entropic_best.pth"
+    calib = np.random.default_rng(4).integers(
+        0, 256, (8, 32, 32, 3), np.uint8)
+    single = OpenSetPredictor(ckpt, n_classes=3, variant="tiny",
+                              image_size=32, optimize="int8",
+                              calibration=calib)
+    sharded = OpenSetPredictor(ckpt, n_classes=3, variant="tiny",
+                               image_size=32, optimize="int8",
+                               calibration=calib,
+                               mesh=make_mesh(num_devices=8))
+    images = np.random.default_rng(5).integers(
+        0, 256, (11, 32, 32, 3), np.uint8)
+    c1, s1 = single.predict(images)
+    c2, s2 = sharded.predict(images)
+    np.testing.assert_array_equal(c1, c2)
+    np.testing.assert_allclose(s1, s2, rtol=1e-5, atol=1e-6)

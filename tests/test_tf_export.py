@@ -116,3 +116,24 @@ def test_read_metadata_degrades_to_empty(tmp_path):
     assert read_metadata(bundle) == {}
     metadata_path(bundle).write_text("[1, 2]")   # wrong type
     assert read_metadata(bundle) == {}
+
+
+def test_savedmodel_int8_roundtrip(trained, tmp_path):
+    """The quantized graph lowers through jax2tf too (TF-Serving path)."""
+    from openset_imagenet_tpu.tf_export import (export_savedmodel,
+                                                load_savedmodel)
+
+    calib = np.random.default_rng(41).integers(
+        0, 256, (8, 32, 32, 3), dtype=np.uint8)
+    live = build_serving_fn(trained, 3, variant="tiny", image_size=32,
+                            optimize="int8", calibration=calib)
+    out = export_savedmodel(live, tmp_path / "q.savedmodel",
+                            image_size=32, meta={"optimize": "int8"})
+    fn = load_savedmodel(out)
+    assert fn.meta["optimize"] == "int8"
+    for n in (2, 5):
+        imgs = np.random.default_rng(n).integers(
+            0, 256, (n, 32, 32, 3), dtype=np.uint8)
+        for g, w, name in zip(fn(imgs), live(imgs),
+                              ("logits", "features", "scores")):
+            assert_close_bf16(g, w, name)

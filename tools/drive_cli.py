@@ -12,9 +12,10 @@ reference user runs, plus the multi-host launcher:
   3. launch_imagenet     — the same train+evaluate under a REAL 2-process
                            jax.distributed cluster (skip with --skip-mp)
   4. predict_imagenet    — serving CLI on a directory of raw images
-                           (+ FPR calibration, export_imagenet artifact,
-                           bundle 'auto', and the serve_imagenet HTTP
-                           daemon reproducing the artifact predictions)
+                           (+ FPR calibration, int8 PTQ serving,
+                           export_imagenet artifact, bundle 'auto', and
+                           the serve_imagenet HTTP daemon reproducing
+                           the artifact predictions)
   5. plot_imagenet       — OSCR/confidence PDF + LaTeX table
   6. a learning bar: known-class test accuracy >= --min-acc
 
@@ -293,6 +294,18 @@ output_directory: {out}
     assert len(clines) == 1 + n_imgs
     cpreds = [int(l.rsplit(",", 2)[1]) for l in clines[1:]]
     assert any(p >= 0 for p in cpreds), cpreds  # knowns still accepted
+
+    # 4b2. int8 PTQ serving (--optimize int8, self-calibrated on the
+    # inputs): quantization noise must not flip these easy same-color
+    # decisions — same one-borderline-image slack as the other
+    # independently-compiled-graph stages.
+    int8_csv = root / "predictions_int8.csv"
+    run("predict(int8)", pred_base
+        + ["-o", int8_csv, "--optimize", "int8"], env, root)
+    qpreds = [int(l.rsplit(",", 2)[1])
+              for l in int8_csv.read_text().strip().splitlines()[1:]]
+    qflips = sum(a != p for a, p in zip(qpreds, preds))
+    assert len(qpreds) == len(preds) and qflips <= 1, (qpreds, preds)
 
     # 4c. deployment export: checkpoint -> StableHLO artifact (validated
     # against the live forward), then the SAME predict CLI serves the
