@@ -79,7 +79,8 @@ def read_metadata(path) -> dict:
 
 def build_serving_fn(checkpoint, n_classes: int,
                      variant: str | None = None, image_size: int = 224,
-                     optimize: str | None = None, calibration=None):
+                     optimize: str | None = None, calibration=None,
+                     calibration_percentile: float | None = None):
     """Load a checkpoint and close the serving forward over its weights.
 
     Same model construction + weight loading as
@@ -113,7 +114,8 @@ def build_serving_fn(checkpoint, n_classes: int,
 
         _, state = optimized_inference(model, state, optimize,
                                        calibration=calibration,
-                                       image_size=image_size)
+                                       image_size=image_size,
+                                       percentile=calibration_percentile)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     apply_fn = state.apply_fn
 
@@ -129,7 +131,8 @@ def build_serving_fn(checkpoint, n_classes: int,
 def export_serving(checkpoint, n_classes: int, variant: str = "resnet50",
                    image_size: int = 224, batch_size=None,
                    platforms=("cpu", "tpu"), optimize: str | None = None,
-                   calibration=None):
+                   calibration=None,
+                   calibration_percentile: float | None = None):
     """Export the serving forward; returns a ``jax.export.Exported``.
 
     Args:
@@ -147,7 +150,8 @@ def export_serving(checkpoint, n_classes: int, variant: str = "resnet50",
     """
     forward = build_serving_fn(checkpoint, n_classes, variant=variant,
                                image_size=image_size, optimize=optimize,
-                               calibration=calibration)
+                               calibration=calibration,
+                               calibration_percentile=calibration_percentile)
     return export_forward(forward, image_size=image_size,
                           batch_size=batch_size, platforms=platforms)
 

@@ -58,7 +58,8 @@ class OpenSetPredictor:
                  variant: str | None = None, image_size: int | None = None,
                  threshold: float | None = None, mode: str | None = None,
                  has_background: bool | None = None, mesh=None,
-                 optimize: str | None = None, calibration=None):
+                 optimize: str | None = None, calibration=None,
+                 calibration_percentile: float | None = None):
         """Args:
             checkpoint: path to a ``.pth`` checkpoint from training, or
                 an exported ``.stablehlo`` serving artifact
@@ -108,6 +109,11 @@ class OpenSetPredictor:
                 inputs).  A few hundred images drawn from the serving
                 distribution is plenty; the prediction inputs themselves
                 work (``predict_imagenet`` self-calibrates this way).
+            calibration_percentile: clip each activation scale to this
+                percentile of |activation| (e.g. ``99.9``) instead of
+                the abs-max — outlier-robust calibration (values above
+                the clip saturate at the int8 rails).  Default: exact
+                abs-max.
 
         ``threshold`` / ``mode`` / ``has_background`` left as ``None``
         resolve from the artifact's serving-config sidecar
@@ -136,6 +142,9 @@ class OpenSetPredictor:
                 "or image paths) to set the activation scales")
         if calibration is not None and optimize != "int8":
             raise ValueError("calibration= only applies to optimize='int8'")
+        if calibration_percentile is not None and optimize != "int8":
+            raise ValueError("calibration_percentile= only applies to "
+                             "optimize='int8'")
         self._reader = None
         if str(checkpoint).endswith(ARTIFACT_SUFFIX):
             if optimize is not None:
@@ -158,7 +167,7 @@ class OpenSetPredictor:
             self.n_classes = int(n_classes)
             self._init_from_checkpoint(checkpoint, self.n_classes, variant,
                                        self.image_size, mesh, optimize,
-                                       calibration)
+                                       calibration, calibration_percentile)
         if threshold is None:
             threshold = self.meta.get("threshold", 0.0)
         self.threshold = float(threshold)
@@ -216,7 +225,9 @@ class OpenSetPredictor:
     def _init_from_checkpoint(self, checkpoint, n_classes: int,
                               variant: str | None, image_size: int,
                               mesh, optimize: str | None = None,
-                              calibration=None) -> None:
+                              calibration=None,
+                              calibration_percentile: float | None = None
+                              ) -> None:
         import optax
 
         from . import train as engine
@@ -238,7 +249,8 @@ class OpenSetPredictor:
             _, state = optimized_inference(
                 model, state, optimize, calibration=calibration,
                 image_size=image_size,
-                load_images=lambda paths: self._load_images(list(paths)))
+                load_images=lambda paths: self._load_images(list(paths)),
+                percentile=calibration_percentile)
         # Commit the weights to device once; numpy leaves would otherwise
         # re-transfer the whole model on every predict() call.
         if mesh is not None:

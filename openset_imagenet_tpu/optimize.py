@@ -127,7 +127,8 @@ def fold_model(model):
 _QUANT_SLOTS = frozenset({"Conv_0", "Conv_1", "Conv_2", "downsample_conv"})
 
 
-def calibrate_amax(fmodel, fparams, batches) -> dict:
+def calibrate_amax(fmodel, fparams, batches,
+                   percentile: float | None = None) -> dict:
     """Per-conv-input abs-max over calibration batches (activation scales).
 
     Runs the FOLDED model's forward with a flax method interceptor that
@@ -142,19 +143,33 @@ def calibrate_amax(fmodel, fparams, batches) -> dict:
     serving preprocessing (``train._to_float``); float batches are
     assumed already preprocessed.  A few hundred images is plenty for
     abs-max calibration.
+
+    ``percentile`` (e.g. ``99.9``) replaces each batch's abs-max with
+    that percentile of |activation| — the standard outlier-robust PTQ
+    clip (one extreme activation no longer stretches the whole tensor's
+    scale; values above the clip saturate at +-127).  Batches combine
+    by max either way.  Default (``None``) is exact abs-max.
     """
     import flax.linen as nn
     import jax
 
+    if percentile is not None and not 0.0 < percentile <= 100.0:
+        raise ValueError(f"percentile must be in (0, 100], got "
+                         f"{percentile}")
     records = []
+
+    def _site_stat(x):
+        mag = jnp.abs(x.astype(jnp.float32))
+        if percentile is None:
+            return jnp.max(mag)
+        return jnp.percentile(mag.reshape(-1), percentile)
 
     def interceptor(next_fun, args, kwargs, context):
         mod = context.module
         if (isinstance(mod, nn.Conv)
                 and context.method_name == "__call__"
                 and mod.name in _QUANT_SLOTS):
-            records.append(("/".join(mod.path),
-                            jnp.max(jnp.abs(args[0].astype(jnp.float32)))))
+            records.append(("/".join(mod.path), _site_stat(args[0])))
         return next_fun(*args, **kwargs)
 
     @jax.jit
@@ -230,7 +245,9 @@ def quantize_model(model):
     return fold_model(model).clone(quantized=True)
 
 
-def quantize_inference(model, state, calibration) -> Tuple[Any, Any]:
+def quantize_inference(model, state, calibration,
+                       percentile: float | None = None
+                       ) -> Tuple[Any, Any]:
     """Fold + calibrate + quantize a trained ``(model, TrainState)``.
 
     ``calibration``: iterable of image batches (serving preprocessing
@@ -241,7 +258,8 @@ def quantize_inference(model, state, calibration) -> Tuple[Any, Any]:
     :func:`fold_inference`.
     """
     fmodel, fstate = fold_inference(model, state)
-    amax = calibrate_amax(fmodel, fstate.params, calibration)
+    amax = calibrate_amax(fmodel, fstate.params, calibration,
+                          percentile=percentile)
     qmodel = quantize_model(model)
     qparams = quantize_params(fstate.params, amax)
     qstate = fstate.replace(params=qparams, apply_fn=qmodel.apply)
@@ -270,7 +288,9 @@ def _default_image_loader(image_size: int):
 
 def optimized_inference(model, state, mode: str, calibration=None,
                         image_size: int = 224,
-                        load_images=None) -> Tuple[Any, Any]:
+                        load_images=None,
+                        percentile: float | None = None
+                        ) -> Tuple[Any, Any]:
     """Apply a named inference-graph optimization to a trained state.
 
     The one entry point every serving surface shares
@@ -278,8 +298,10 @@ def optimized_inference(model, state, mode: str, calibration=None,
     ``serve_imagenet --optimize``): ``mode`` is ``"fold_bn"`` or
     ``"int8"``; for int8, ``calibration`` is a uint8 ``[N, H, W, 3]``
     array or an iterable of image paths (decoded by ``load_images``,
-    default: the serving reader policy at ``image_size``).  Returns
-    ``(opt_model, opt_state)``.
+    default: the serving reader policy at ``image_size``); ``percentile``
+    optionally clips each activation scale to that percentile of
+    |activation| instead of the abs-max (outlier-robust calibration, see
+    :func:`calibrate_amax`).  Returns ``(opt_model, opt_state)``.
     """
     if mode == "fold_bn":
         return fold_inference(model, state)
@@ -290,6 +312,18 @@ def optimized_inference(model, state, mode: str, calibration=None,
         raise ValueError(
             "optimize='int8' needs calibration= (a uint8 image array "
             "or image paths) to set the activation scales")
+    if getattr(model, "groups", 1) != 1:
+        # Measured on v5e (BENCH.md round-4): XLA's grouped int8 conv
+        # lowering inflates bytes ~2.5x and serves SLOWER than bf16
+        # (resnext50: -19%).  Correctness is unaffected — warn, don't
+        # refuse, so the knob stays usable on future toolchains.
+        import logging
+
+        logging.getLogger("openset_imagenet_tpu").warning(
+            "int8 quantization of grouped convolutions (groups=%d) "
+            "measured SLOWER than bf16 on the current TPU toolchain "
+            "(BENCH.md round-4); prefer serving resnext* models "
+            "unoptimized", model.groups)
     if isinstance(calibration, np.ndarray):
         images = calibration
     else:
@@ -305,7 +339,8 @@ def optimized_inference(model, state, mode: str, calibration=None,
     chunks = [images[i:i + 64] for i in range(0, images.shape[0], 64)]
     if len(chunks) > 1 and chunks[-1].shape[0] != 64:
         chunks[-1] = images[-64:]  # full-size tail, no 2nd compile
-    return quantize_inference(model, state, chunks)
+    return quantize_inference(model, state, chunks,
+                              percentile=percentile)
 
 
 def fold_inference(model, state) -> Tuple[Any, Any]:

@@ -108,6 +108,13 @@ def get_args(argv=None):
                              "--optimize int8: image files, directories, "
                              "or listings, drawn from the serving "
                              "distribution (a few hundred is plenty)")
+    parser.add_argument("--calibration-percentile", type=float,
+                        default=None, metavar="PCT",
+                        help="Clip each int8 activation scale to this "
+                             "percentile of |activation| (e.g. 99.9) "
+                             "instead of the abs-max — outlier-robust "
+                             "calibration (values above the clip "
+                             "saturate)")
     args = parser.parse_args(argv)
     if args.threshold_at_fpr is not None:
         if args.calibrate is None:
@@ -123,6 +130,9 @@ def get_args(argv=None):
                      "(activation-range calibration inputs)")
     if args.calibration_images is not None and args.optimize != "int8":
         parser.error("--calibration-images does nothing without "
+                     "--optimize int8")
+    if args.calibration_percentile is not None and args.optimize != "int8":
+        parser.error("--calibration-percentile does nothing without "
                      "--optimize int8")
     return args
 
@@ -160,7 +170,8 @@ def main(argv=None):
                             variant=variant,
                             image_size=args.image_size,
                             optimize=args.optimize,
-                            calibration=calibration)
+                            calibration=calibration,
+                            calibration_percentile=args.calibration_percentile)
     if args.format == "stablehlo":
         exported = export_forward(live, image_size=args.image_size,
                                   batch_size=args.batch_size,

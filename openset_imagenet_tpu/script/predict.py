@@ -125,6 +125,13 @@ def get_args(argv=None):
                              "like the positional images). Default: "
                              "self-calibrate on the first 256 prediction "
                              "inputs")
+    parser.add_argument("--calibration-percentile", type=float,
+                        default=None, metavar="PCT",
+                        help="Clip each int8 activation scale to this "
+                             "percentile of |activation| (e.g. 99.9) "
+                             "instead of the abs-max — outlier-robust "
+                             "calibration (values above the clip "
+                             "saturate)")
     parser.add_argument("--gpu", "-g", type=int, nargs="?", default=None,
                         const=0,
                         help="Pin inference to this device index")
@@ -148,6 +155,9 @@ def get_args(argv=None):
         parser.error("--calibrate does nothing without --threshold-at-fpr")
     if args.calibration_images is not None and args.optimize != "int8":
         parser.error("--calibration-images does nothing without "
+                     "--optimize int8")
+    if args.calibration_percentile is not None and args.optimize != "int8":
+        parser.error("--calibration-percentile does nothing without "
                      "--optimize int8")
     return args
 
@@ -252,7 +262,8 @@ def main(argv=None):
         variant=args.model_variant, image_size=args.image_size,
         threshold=args.threshold, mode=args.mode,
         has_background=args.background, mesh=mesh,
-        optimize=args.optimize, calibration=calibration)
+        optimize=args.optimize, calibration=calibration,
+        calibration_percentile=args.calibration_percentile)
         if paths else None)
     if predictor is not None and args.threshold_at_fpr is not None:
         # After construction so the calibration measure matches the

@@ -91,6 +91,13 @@ def get_args(argv=None):
                              "--optimize int8: image files, directories, "
                              "or listings, drawn from the serving "
                              "distribution")
+    parser.add_argument("--calibration-percentile", type=float,
+                        default=None, metavar="PCT",
+                        help="Clip each int8 activation scale to this "
+                             "percentile of |activation| (e.g. 99.9) "
+                             "instead of the abs-max — outlier-robust "
+                             "calibration (values above the clip "
+                             "saturate)")
     parser.add_argument("--gpu", "-g", type=int, nargs="?", default=None,
                         const=0,
                         help="Pin serving to this device index")
@@ -115,6 +122,9 @@ def get_args(argv=None):
                      "self-calibrate on)")
     if args.calibration_images is not None and args.optimize != "int8":
         parser.error("--calibration-images does nothing without "
+                     "--optimize int8")
+    if args.calibration_percentile is not None and args.optimize != "int8":
+        parser.error("--calibration-percentile does nothing without "
                      "--optimize int8")
     return args
 
@@ -153,7 +163,8 @@ def main(argv=None):
         variant=args.model_variant, image_size=args.image_size,
         threshold=args.threshold, mode=args.mode,
         has_background=args.background, mesh=mesh,
-        optimize=args.optimize, calibration=calibration)
+        optimize=args.optimize, calibration=calibration,
+        calibration_percentile=args.calibration_percentile)
     if args.threshold_at_fpr is not None:
         predictor.threshold = calibrate_threshold(
             args.calibrate, args.threshold_at_fpr, predictor.mode,
