@@ -140,7 +140,17 @@ def get_args(argv=None):
                              "over the first N local devices (weights "
                              "replicated once). Mutually exclusive with "
                              "--gpu")
+    parser.add_argument("--compile-cache", metavar="DIR", default=None,
+                        help="Persistent XLA compilation cache directory "
+                             "(default: ~/.cache/openset-imagenet-tpu/"
+                             "xla) — repeat invocations skip the "
+                             "multi-minute TPU compile")
+    parser.add_argument("--no-compile-cache", action="store_true",
+                        help="Compile from scratch; write no cache")
     args = parser.parse_args(argv)
+    if args.no_compile_cache and args.compile_cache is not None:
+        parser.error("--compile-cache and --no-compile-cache are "
+                     "mutually exclusive")
     if args.gpu is not None and args.devices is not None:
         parser.error("--gpu pins one device; --devices shards over "
                      "several — pass at most one of them")
@@ -228,6 +238,11 @@ def main(argv=None):
         import jax
         jax.config.update("jax_default_device",
                           select_device(args.gpu)[0])
+    if not args.no_compile_cache:
+        # Before the predictor: its construction triggers the first
+        # compile this cache should capture.
+        from ..util import enable_compilation_cache, resolve_compile_cache
+        enable_compilation_cache(resolve_compile_cache(args.compile_cache))
 
     from ..inference import OpenSetPredictor
     from ..logger import configure_logger

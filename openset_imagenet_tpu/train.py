@@ -676,9 +676,8 @@ def worker(cfg) -> dict:
     # skip the multi-minute ResNet-50 TPU compile after the first run.
     cache_dir = getattr(cfg, "compilation_cache", None)
     if cache_dir:
-        jax.config.update("jax_compilation_cache_dir", str(cache_dir))
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+        from .util import enable_compilation_cache
+        enable_compilation_cache(cache_dir)
 
     best_score = 0.0
     start_epoch = 0

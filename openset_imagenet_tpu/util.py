@@ -28,6 +28,56 @@ def __getattr__(name):
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 
 
+# Default on-disk XLA cache for the serving CLIs' --compile-cache flag
+# (per-user, survives process restarts; XLA's keying makes sharing safe).
+DEFAULT_COMPILE_CACHE = "~/.cache/openset-imagenet-tpu/xla"
+
+
+def resolve_compile_cache(flag_value):
+    """Cache directory for a serving CLI: flag > ``OSI_COMPILE_CACHE``
+    env (CI/test harnesses pin one shared location without threading a
+    flag through every invocation) > the per-user default."""
+    import os
+
+    return (flag_value or os.environ.get("OSI_COMPILE_CACHE")
+            or DEFAULT_COMPILE_CACHE)
+
+
+def enable_compilation_cache(cache_dir) -> Path:
+    """Point XLA's persistent compilation cache at ``cache_dir``.
+
+    One shared switch for every surface that pays a whole-model XLA
+    compile (training sweeps via ``cfg.compilation_cache``, the
+    ``predict_imagenet`` / ``serve_imagenet`` serving CLIs via
+    ``--compile-cache``): after the first run, identical programs load
+    from disk instead of recompiling — on the TPU target that turns a
+    multi-minute serving-daemon cold start into seconds.
+
+    Safe to share between programs/models: XLA keys entries by the HLO
+    module, compile options, device kind, and jax/jaxlib versions, so a
+    stale or foreign entry can never be served.  Thresholds are zeroed
+    so even quick compiles cache (a daemon's bucket ladder is many small
+    programs).  Must run before the compile it should capture; calling
+    again just re-points the directory.
+    """
+    import jax
+
+    path = Path(cache_dir).expanduser()
+    path.mkdir(parents=True, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(path))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    try:
+        # The on-disk cache object is a lazily-created singleton bound to
+        # the directory current at its FIRST use — if something already
+        # compiled in this process (another directory), re-point it.
+        from jax._src import compilation_cache
+        compilation_cache.reset_cache()
+    except (ImportError, AttributeError):  # private API moved: the dir
+        pass                               # config above still applies
+    return path
+
+
 def dataset_info(protocol_data_dir):
     """Data frame with per-split known/negative/unknown composition.
 

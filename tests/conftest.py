@@ -26,6 +26,9 @@ _cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+# The serving CLIs default their --compile-cache here too (in-process
+# calls and spawned daemons alike) instead of touching ~/.cache.
+os.environ.setdefault("OSI_COMPILE_CACHE", _cache_dir)
 
 
 @pytest.fixture

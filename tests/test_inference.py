@@ -699,3 +699,40 @@ def test_mesh_predictor_int8_matches_single_device(trained):
     c2, s2 = sharded.predict(images)
     np.testing.assert_array_equal(c1, c2)
     np.testing.assert_allclose(s1, s2, rtol=1e-5, atol=1e-6)
+
+
+def test_predict_cli_compile_cache(trained, tmp_path):
+    """--compile-cache routes the serving compiles into a persistent XLA
+    cache (entries on disk after one run); --no-compile-cache with an
+    explicit directory is a contradiction the parser rejects."""
+    import jax
+    from PIL import Image
+
+    from openset_imagenet_tpu.script.predict import get_args, main
+
+    root, cfg = trained
+    ckpt = cfg.output_directory / "entropic_best.pth"
+    img = tmp_path / "in.png"
+    Image.fromarray(np.random.default_rng(7).integers(
+        0, 256, (32, 32, 3), np.uint8)).save(img)
+
+    with pytest.raises(SystemExit):
+        get_args([str(ckpt), "3", str(img), "--compile-cache", "x",
+                  "--no-compile-cache"])
+
+    before = jax.config.jax_compilation_cache_dir
+    cache = tmp_path / "xla-cache"
+    try:
+        out = tmp_path / "out.csv"
+        assert main([str(ckpt), "3", str(img), "--model-variant", "tiny",
+                     "--image-size", "32", "-o", str(out),
+                     "--compile-cache", str(cache)]) == 0
+        assert out.read_text().count("\n") == 2
+        # The forward's compile landed in the cache directory.
+        assert any(cache.iterdir()), "no persistent cache entries written"
+    finally:
+        # Re-point AND reset the cache singleton back to the suite's
+        # directory (the helper does both) — plain config restoration
+        # would leave later compiles writing into this deleted tmp dir.
+        from openset_imagenet_tpu.util import enable_compilation_cache
+        enable_compilation_cache(before)

@@ -357,6 +357,9 @@ def test_serve_cli_args():
         get_args(["model.pth", "3", "--gpu", "0", "--devices", "2"])
     with pytest.raises(SystemExit):
         get_args(["model.pth", "3", "--threshold-at-fpr", "0.01"])
+    with pytest.raises(SystemExit):
+        get_args(["model.pth", "3", "--compile-cache", "d",
+                  "--no-compile-cache"])
 
 
 def test_daemon_over_device_mesh_matches_single_device(trained, predictor):

@@ -72,3 +72,25 @@ def test_plot_helpers_lazy_export():
     assert callable(util.plot_oscr)
     with pytest.raises(AttributeError):
         util.nonexistent_helper
+
+def test_enable_compilation_cache_points_xla_at_dir(tmp_path):
+    """The shared cache switch expands ~, creates the directory, zeroes
+    the write thresholds, and restores cleanly (global jax config)."""
+    import jax
+
+    before = (jax.config.jax_compilation_cache_dir,
+              jax.config.jax_persistent_cache_min_entry_size_bytes,
+              jax.config.jax_persistent_cache_min_compile_time_secs)
+    try:
+        target = tmp_path / "deep" / "xla"
+        out = util.enable_compilation_cache(target)
+        assert out == target and target.is_dir()
+        assert jax.config.jax_compilation_cache_dir == str(target)
+        assert jax.config.jax_persistent_cache_min_entry_size_bytes == 0
+        assert jax.config.jax_persistent_cache_min_compile_time_secs == 0
+    finally:
+        jax.config.update("jax_compilation_cache_dir", before[0])
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes",
+                          before[1])
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          before[2])

@@ -171,6 +171,10 @@ def main():
     env.setdefault("JAX_COMPILATION_CACHE_DIR",
                    str(Path(__file__).resolve().parent.parent
                        / "tests" / ".jax_cache"))
+    # Serving CLIs default --compile-cache through this env knob; keep
+    # the drive's cache writes in the same in-repo directory.
+    env.setdefault("OSI_COMPILE_CACHE",
+                   env["JAX_COMPILATION_CACHE_DIR"])
 
     # 0. protocol generation from synthetic metadata
     leaves = build_metadata(root / "meta")
