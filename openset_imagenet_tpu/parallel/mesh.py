@@ -68,6 +68,34 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def shard_over_axis(mesh: Mesh, tree, axis: str = "data"):
+    """ZeRO-style sharding tree: one shard of each leaf per device.
+
+    Returns a pytree of ``NamedSharding`` with the structure of ``tree``
+    where every array leaf is sharded along its first dimension divisible
+    by the mesh axis size; leaves with no such dimension (scalars, step
+    counters, odd class counts) stay replicated.  Used for ZeRO-1
+    optimizer-state partitioning (``opt.zero1``): Adam moments, EMA
+    shadows and accumulation buffers each live once across the mesh
+    instead of once per device, and XLA's SPMD partitioner places the
+    matching reduce-scatter/all-gather collectives over ICI.
+    """
+    n = int(mesh.shape[axis])
+    rep = NamedSharding(mesh, P())
+
+    def leaf(x):
+        shape = tuple(getattr(x, "shape", ()) or ())
+        if n > 1:
+            for i, d in enumerate(shape):
+                if d >= n and d % n == 0:
+                    spec = [None] * len(shape)
+                    spec[i] = axis
+                    return NamedSharding(mesh, P(*spec))
+        return rep
+
+    return jax.tree.map(leaf, tree)
+
+
 def data_mesh_for_batch(global_batch: int, devices=None) -> Mesh:
     """Largest 1-D data mesh whose size divides the global batch.
 

@@ -348,8 +348,52 @@ def _to_float(images_u8: jnp.ndarray) -> jnp.ndarray:
     return images_u8.astype(jnp.float32) * (1.0 / 255.0)
 
 
+def make_state_shardings(state: TrainState, mesh, zero1: bool = False):
+    """TrainState-shaped pytree of shardings for the engine's jit steps.
+
+    Default (pure DP): every leaf replicated.  With ``zero1`` the
+    optimizer state is partitioned over the ``data`` axis instead
+    (ZeRO-1, Rajbhandari et al. 2019): Adam's m/v moments, the EMA
+    shadow and any accumulation buffers each live once across the mesh
+    — on an N-chip mesh that cuts the per-device optimizer footprint
+    ~N× (for ResNet-50+Adam, two params-sized trees).  Parameters and
+    batch statistics stay replicated, so forward/eval math is untouched;
+    XLA's SPMD partitioner turns the update into shard-local compute
+    plus one all-gather of the parameter updates over ICI.
+    """
+    rep = replicated(mesh)
+    tree = jax.tree.map(lambda _: rep, state)
+    if zero1:
+        from .parallel.mesh import shard_over_axis
+        tree = tree.replace(opt_state=shard_over_axis(mesh, state.opt_state))
+    return tree
+
+
+def validate_zero1_flags(zero1: bool, parallel_mode: str,
+                         process_count: int = 1) -> None:
+    """Reject the configurations ZeRO-1 sharding cannot serve.
+
+    shard_map mode keeps the whole TrainState replicated per device by
+    construction, and multi-process meshes leave optimizer shards on
+    devices the checkpoint writer's host fetch cannot address.
+    """
+    if not zero1:
+        return
+    if parallel_mode == "shard_map":
+        raise ValueError(
+            "opt.zero1 requires parallel_mode: gspmd — the shard_map "
+            "step keeps the whole TrainState replicated per device")
+    if process_count > 1:
+        raise ValueError(
+            "opt.zero1 currently supports single-process meshes only: "
+            "the msgpack checkpoint writer fetches the full optimizer "
+            "state, which is not host-addressable when shards live on "
+            "other processes' devices")
+
+
 def make_train_step(loss_fn: Callable, mesh=None,
-                    apply_fn: Optional[Callable] = None) -> Callable:
+                    apply_fn: Optional[Callable] = None,
+                    state_sharding=None) -> Callable:
     """Compile the fused forward/loss/backward/update step.
 
     Under a mesh: state replicated, batch sharded over ``data``; the gradient
@@ -358,6 +402,9 @@ def make_train_step(loss_fn: Callable, mesh=None,
     ``apply_fn`` overrides ``state.apply_fn`` — used by the ragged-tail step,
     which applies the same parameters through a model whose batch-norm
     statistics window covers exactly the valid (non-padded) rows.
+
+    ``state_sharding`` overrides the replicated TrainState placement with a
+    :func:`make_state_shardings` tree (ZeRO-1 optimizer partitioning).
     """
     def step(state: TrainState, images, labels, mask):
         imgs = _to_float(images)
@@ -381,15 +428,16 @@ def make_train_step(loss_fn: Callable, mesh=None,
 
     if mesh is not None:
         rep = replicated(mesh)
+        st = state_sharding if state_sharding is not None else rep
         data = batch_sharding(mesh)
         return jax.jit(step, donate_argnums=(0,),
-                       in_shardings=(rep, data, data, data),
-                       out_shardings=(rep, rep))
+                       in_shardings=(st, data, data, data),
+                       out_shardings=(st, rep))
     return jax.jit(step, donate_argnums=(0,))
 
 
 def make_eval_step(loss_fn: Callable, loss_type: str, n_classes: int,
-                   mesh=None) -> Callable:
+                   mesh=None, state_sharding=None) -> Callable:
     """Compile the validation step: loss + streaming confidence sums.
 
     The regime parameters (offset / unknown_class / last_valid_class) follow
@@ -415,13 +463,14 @@ def make_eval_step(loss_fn: Callable, loss_type: str, n_classes: int,
 
     if mesh is not None:
         rep = replicated(mesh)
+        st = state_sharding if state_sharding is not None else rep
         data = batch_sharding(mesh)
-        return jax.jit(step, in_shardings=(rep, data, data, data),
+        return jax.jit(step, in_shardings=(st, data, data, data),
                        out_shardings=rep)
     return jax.jit(step)
 
 
-def make_forward_step(mesh=None) -> Callable:
+def make_forward_step(mesh=None, state_sharding=None) -> Callable:
     """Compile the extraction step: ``(logits, features, scores)``."""
     def step(state: TrainState, images):
         imgs = _to_float(images)
@@ -433,8 +482,9 @@ def make_forward_step(mesh=None) -> Callable:
 
     if mesh is not None:
         rep = replicated(mesh)
+        st = state_sharding if state_sharding is not None else rep
         data = batch_sharding(mesh)
-        return jax.jit(step, in_shardings=(rep, data),
+        return jax.jit(step, in_shardings=(st, data),
                        out_shardings=(data, data, data))
     return jax.jit(step)
 
@@ -735,7 +785,6 @@ def worker(cfg) -> dict:
     else:
         mesh = data_mesh_for_batch(cfg.batch_size)
     data_sh = batch_sharding(mesh)
-    rep = replicated(mesh)
     image_size = int(getattr(cfg.data, "image_size", 224) or 224)
     workers = int(getattr(cfg, "workers", 4) or 4)
     reader = _make_reader(cfg, crop=image_size)
@@ -754,6 +803,10 @@ def worker(cfg) -> dict:
         raise ValueError(f"train_tail must be 'masked' or 'drop', "
                          f"got {tail_mode!r}")
     parallel_mode = getattr(cfg, "parallel_mode", "gspmd") or "gspmd"
+    # opt.zero1 (TPU extension, default off): partition the optimizer
+    # state over the data axis — see make_state_shardings.
+    zero1 = bool(getattr(cfg.opt, "zero1", False) or False)
+    validate_zero1_flags(zero1, parallel_mode, jax.process_count())
     # Built here (before the pipelines) so the tail policy can read the
     # SAME flags the model was actually built with.
     model = build_model(cfg, n_classes)
@@ -783,7 +836,8 @@ def worker(cfg) -> dict:
                          epochs=int(getattr(cfg, "epochs", 0) or 0))
     ema_on = bool(float(getattr(cfg.opt, "ema", 0.0) or 0.0))
     state = create_state(model, rng, tx, image_size=image_size)
-    state = jax.device_put(state, rep)
+    state_sh = make_state_shardings(state, mesh, zero1=zero1)
+    state = jax.device_put(state, state_sh)
 
     # -- resume / finetune (reference train.py:372-388) --------------------
     if getattr(cfg, "checkpoint", None):
@@ -825,7 +879,7 @@ def worker(cfg) -> dict:
             train_pipe.close()
             val_pipe.close()
             raise
-        state = jax.device_put(state, rep)
+        state = jax.device_put(state, state_sh)
         log.info(f"Best score of loaded model: {best_score:.3f}. "
                  "0 is for fine tuning")
         log.info(f"Loaded {cfg.checkpoint} at epoch {start_epoch}"
@@ -838,7 +892,7 @@ def worker(cfg) -> dict:
         from .parallel.shard_step import make_train_step_shard_map
         train_step = make_train_step_shard_map(loss_fn, mesh)
     else:
-        train_step = make_train_step(loss_fn, mesh)
+        train_step = make_train_step(loss_fn, mesh, state_sharding=state_sh)
     tail_step = None
     if n_tail and not drop_remainder and tail_mode == "masked":
         # Tail batches arrive padded to batch_size with the padding LAST
@@ -856,8 +910,10 @@ def worker(cfg) -> dict:
             tail_rows = n_tail
             tail_step = make_train_step(loss_fn, mesh,
                                         apply_fn=model.clone(
-                                            bn_stats_rows=tail_rows).apply)
-    eval_step = make_eval_step(loss_fn, cfg.loss.type, n_classes, mesh)
+                                            bn_stats_rows=tail_rows).apply,
+                                        state_sharding=state_sh)
+    eval_step = make_eval_step(loss_fn, cfg.loss.type, n_classes, mesh,
+                               state_sharding=state_sh)
 
     patience = int(getattr(cfg, "patience", 0) or 0)
     early_stopping = (EarlyStopping(patience=patience)
