@@ -146,6 +146,7 @@ class OpenSetPredictor:
             raise ValueError("calibration_percentile= only applies to "
                              "optimize='int8'")
         self._reader = None
+        self._decoded_cache = {}
         if str(checkpoint).endswith(ARTIFACT_SUFFIX):
             if optimize is not None:
                 raise ValueError(
@@ -246,10 +247,20 @@ class OpenSetPredictor:
         if optimize is not None:
             from .optimize import optimized_inference
 
+            def _calibration_loader(paths):
+                paths = list(paths)
+                batch = self._load_images(paths)
+                # Self-calibration (script/predict.py) passes the first
+                # serving inputs — memoize their decoded pixels so the
+                # prediction pass over the same files reuses them
+                # instead of decoding twice (see _load_images).
+                self._decoded_cache = dict(zip(paths, batch))
+                return batch
+
             _, state = optimized_inference(
                 model, state, optimize, calibration=calibration,
                 image_size=image_size,
-                load_images=lambda paths: self._load_images(list(paths)),
+                load_images=_calibration_loader,
                 percentile=calibration_percentile)
         # Commit the weights to device once; numpy leaves would otherwise
         # re-transfer the whole model on every predict() call.
@@ -267,21 +278,23 @@ class OpenSetPredictor:
     def _load_images(self, inputs) -> np.ndarray:
         if isinstance(inputs, np.ndarray):
             return inputs
-        if self._reader is None:
-            # Same reader policy as training (auto: native batch loader
-            # with PIL fallback) — one source of truth.
-            from . import train as engine
-            from .config import NameSpace
-            self._reader = engine._make_reader(
-                NameSpace({"data": {"reader": "auto"}, "seed": 0}),
-                crop=self.image_size)
         paths = list(inputs)
-        if not paths:
-            return np.zeros((0, self.image_size, self.image_size, 3),
-                            np.uint8)
-        if hasattr(self._reader, "read_batch"):
-            return self._reader.read_batch(paths, [None] * len(paths))
-        return np.stack([self._reader(p, None) for p in paths])
+        if paths and self._decoded_cache:
+            # int8 self-calibration decodes the first serving inputs to
+            # set activation scales; those exact pixels are memoized so
+            # predicting the same files skips a second JPEG decode (the
+            # measured bottleneck on small hosts).  Only whole-chunk
+            # hits short-circuit — a chunk with any uncached path
+            # decodes in one batch as usual.
+            hits = [self._decoded_cache.get(p) for p in paths]
+            if all(h is not None for h in hits):
+                return np.stack(hits)
+        # Shared serving decode policy (one source of truth with the
+        # int8-calibration loader); the reader is cached across calls.
+        from .train import decode_serving_paths
+        batch, self._reader = decode_serving_paths(
+            paths, self.image_size, reader=self._reader)
+        return batch
 
     def _bucket(self, n: int) -> int:
         """Padded batch size for an ``n``-image request.

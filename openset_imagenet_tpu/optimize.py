@@ -267,21 +267,15 @@ def quantize_inference(model, state, calibration,
 
 
 def _default_image_loader(image_size: int):
-    """Decode image paths with the serving reader policy (auto: native
-    batch decoder with PIL fallback) — the same decode every other
-    serving surface applies, so calibration sees serving pixels."""
+    """Decode image paths with the serving reader policy — delegates to
+    :func:`~openset_imagenet_tpu.train.decode_serving_paths`, the same
+    decode every other serving surface applies, so calibration sees
+    serving pixels."""
     def load(paths):
-        from .config import NameSpace
-        from .train import _make_reader
+        from .train import decode_serving_paths
 
-        paths = list(paths)
-        if not paths:
-            return np.zeros((0, image_size, image_size, 3), np.uint8)
-        reader = _make_reader(NameSpace({"data": {"reader": "auto"},
-                                         "seed": 0}), crop=image_size)
-        if hasattr(reader, "read_batch"):
-            return reader.read_batch(paths, [None] * len(paths))
-        return np.stack([reader(p, None) for p in paths])
+        batch, _ = decode_serving_paths(paths, image_size)
+        return batch
 
     return load
 

@@ -674,6 +674,34 @@ def _make_reader(cfg, crop: int = 224):
     return PILReader(crop=crop, resize=resize)
 
 
+def decode_serving_paths(paths, image_size: int, reader=None):
+    """Decode image paths with the serving reader policy into one
+    ``(N, image_size, image_size, 3)`` uint8 batch.
+
+    Single source of truth for every surface that turns paths into
+    serving pixels — :class:`~openset_imagenet_tpu.inference
+    .OpenSetPredictor` and export-time int8 calibration
+    (:func:`~openset_imagenet_tpu.optimize.optimized_inference`) must
+    decode identically, or baked calibration scales would drift from
+    the pixels served.  Policy: ``auto`` reader (native fused libjpeg
+    batch decoder with PIL fallback), shorter-side resize + center
+    crop — the eval transform.
+
+    Returns ``(batch, reader)`` so callers can cache the reader (the
+    native batch reader owns a C++ thread pool) across calls.
+    """
+    if reader is None:
+        from .config import NameSpace
+        reader = _make_reader(NameSpace({"data": {"reader": "auto"},
+                                         "seed": 0}), crop=image_size)
+    paths = list(paths)
+    if not paths:
+        return np.zeros((0, image_size, image_size, 3), np.uint8), reader
+    if hasattr(reader, "read_batch"):
+        return reader.read_batch(paths, [None] * len(paths)), reader
+    return np.stack([reader(p, None) for p in paths]), reader
+
+
 def build_model(cfg, n_classes: int) -> ResNet50:
     """Model from config: two-head ResNet, variant default ``resnet50``.
 
@@ -1126,6 +1154,14 @@ def worker(cfg) -> dict:
             if ema_on:
                 ema_params = extract_ema(state.opt_state)
                 if ema_params is not None:
+                    if zero1:
+                        # ZeRO-1 shards the EMA shadow over the data
+                        # axis with the rest of the optimizer state;
+                        # eval_step's in_shardings pin params
+                        # replicated, so re-place the shadow (one
+                        # all-gather over ICI) before validation.
+                        ema_params = jax.device_put(
+                            ema_params, state_sh.params)
                     eval_state = state.replace(params=ema_params)
             validate(eval_state, val_pipe, epoch, eval_step, v_metrics)
             curr_score = v_metrics["conf_kn"].avg + v_metrics["conf_unk"].avg

@@ -59,11 +59,24 @@ def enable_compilation_cache(cache_dir) -> Path:
     so even quick compiles cache (a daemon's bucket ladder is many small
     programs).  Must run before the compile it should capture; calling
     again just re-points the directory.
+
+    An uncreatable directory (read-only HOME in a container, missing
+    mount) disables the cache with a warning instead of failing the
+    CLI: the cache is default-on for the serving CLIs, and a missing
+    cache only costs a recompile.  Returns ``None`` in that case.
     """
     import jax
 
     path = Path(cache_dir).expanduser()
-    path.mkdir(parents=True, exist_ok=True)
+    try:
+        path.mkdir(parents=True, exist_ok=True)
+    except OSError as e:
+        import logging
+        logging.getLogger(__name__).warning(
+            "compilation cache disabled: cannot create %s (%s) — "
+            "set --compile-cache/OSI_COMPILE_CACHE to a writable "
+            "directory to re-enable", path, e)
+        return None
     jax.config.update("jax_compilation_cache_dir", str(path))
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)

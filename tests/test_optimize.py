@@ -332,6 +332,55 @@ def test_predict_cli_optimize_int8(trained, tmp_path):
     assert sum(plain[k] != quant2[k] for k in plain) <= 1, (plain, quant2)
 
 
+def test_int8_path_calibration_decodes_each_file_once(trained, tmp_path,
+                                                      monkeypatch):
+    """Self-calibration memoizes its decoded pixels: predicting the same
+    files after path-calibration must not JPEG-decode them a second time
+    (decode is the measured bottleneck on small hosts), and uncached
+    paths still decode normally."""
+    from PIL import Image
+
+    from openset_imagenet_tpu import train as engine_mod
+    from openset_imagenet_tpu.inference import OpenSetPredictor
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.default_rng(7)
+    paths = []
+    for i in range(5):
+        p = img_dir / f"im{i}.jpg"
+        Image.fromarray(rng.integers(0, 256, (32, 32, 3), np.uint8)).save(p)
+        paths.append(str(p))
+
+    decoded = []
+    real = engine_mod.decode_serving_paths
+
+    def counting(ps, image_size, reader=None):
+        decoded.extend(list(ps))
+        return real(ps, image_size, reader=reader)
+
+    monkeypatch.setattr(engine_mod, "decode_serving_paths", counting)
+    pred = OpenSetPredictor(trained, image_size=32, optimize="int8",
+                            calibration=paths[:4])
+    assert sorted(decoded) == sorted(paths[:4])
+    c_cached, s_cached = pred.predict(paths[:4])
+    assert sorted(decoded) == sorted(paths[:4]), "cache hit decoded again"
+    # The cached pixels ARE the serving pixels: a fresh predictor (no
+    # cache) on the same files must agree bitwise on scores.
+    fresh = OpenSetPredictor(trained, image_size=32, optimize="int8",
+                             calibration=np.stack(
+                                 [pred._decoded_cache[p]
+                                  for p in paths[:4]]))
+    c_fresh, s_fresh = fresh.predict(paths[:4])
+    np.testing.assert_array_equal(np.asarray(c_cached), np.asarray(c_fresh))
+    np.testing.assert_array_equal(np.asarray(s_cached), np.asarray(s_fresh))
+    # A chunk containing an uncached path takes the decode path whole
+    # (the fresh array-calibrated predictor above decoded paths[:4] once
+    # itself — it has no path cache).
+    pred.predict(paths)
+    assert sorted(decoded) == sorted(paths[:4] + paths[:4] + paths)
+
+
 def test_predict_cli_optimize_fold_bn(trained, tmp_path):
     """--optimize fold_bn: same predicted classes through the CLI."""
     import csv

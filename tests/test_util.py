@@ -94,3 +94,29 @@ def test_enable_compilation_cache_points_xla_at_dir(tmp_path):
                           before[1])
         jax.config.update("jax_persistent_cache_min_compile_time_secs",
                           before[2])
+
+
+def test_enable_compilation_cache_uncreatable_dir_disables_not_crashes(
+        tmp_path, caplog):
+    """The cache is default-on for the serving CLIs, so an uncreatable
+    directory (read-only HOME in a container) must degrade to no-cache
+    with a warning, not a startup traceback."""
+    import logging
+
+    import jax
+
+    # A regular file as the parent makes mkdir raise for every uid
+    # (chmod-based denial is invisible to root, which CI runs as).
+    blocker = tmp_path / "blocker"
+    blocker.write_text("not a directory")
+    before = jax.config.jax_compilation_cache_dir
+    try:
+        with caplog.at_level(logging.WARNING):
+            out = util.enable_compilation_cache(blocker / "xla")
+        assert out is None
+        # XLA was never pointed at the unusable directory.
+        assert jax.config.jax_compilation_cache_dir == before
+        assert any("compilation cache disabled" in r.message
+                   for r in caplog.records)
+    finally:
+        jax.config.update("jax_compilation_cache_dir", before)

@@ -176,6 +176,35 @@ def test_worker_end_to_end_with_zero1(tmp_path):
                                    rtol=1e-5, atol=1e-6)
 
 
+def test_worker_zero1_with_ema_validates(tmp_path):
+    """Regression: ``opt.zero1`` + ``opt.ema`` together.  The EMA shadow
+    lives inside the data-sharded opt_state; eval_step's in_shardings pin
+    params replicated, so the worker must re-place the extracted shadow
+    before validation (this raised a jit sharding-mismatch ValueError at
+    the first epoch-end validation before the fix)."""
+    from flax import serialization
+    from test_engine import tiny_cfg, write_protocol_csvs
+
+    write_protocol_csvs(tmp_path)
+    cfg = tiny_cfg(tmp_path, "entropic", epochs=1)
+    cfg.name = "z1ema"
+    cfg.opt.zero1 = True
+    cfg.opt.ema = 0.9
+    cfg.output_directory = tmp_path / "out_z1ema"
+    engine.worker(cfg)
+    # Both checkpoints land: _curr (raw params) and _best (EMA weights).
+    with open(tmp_path / "out_z1ema" / "z1ema_curr.pth", "rb") as f:
+        curr = serialization.msgpack_restore(f.read())
+    with open(tmp_path / "out_z1ema" / "z1ema_best.pth", "rb") as f:
+        best = serialization.msgpack_restore(f.read())
+    # The best checkpoint stores the smoothed weights — after one epoch
+    # they must differ from the raw params (decay 0.9 lags the updates).
+    diffs = [not np.array_equal(np.asarray(a), np.asarray(b))
+             for a, b in zip(jax.tree.leaves(curr["model_state_dict"]),
+                             jax.tree.leaves(best["model_state_dict"]))]
+    assert any(diffs)
+
+
 def test_zero1_flag_validation():
     engine.validate_zero1_flags(False, "shard_map", 2)  # off: anything goes
     engine.validate_zero1_flags(True, "gspmd", 1)
