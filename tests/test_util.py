@@ -97,7 +97,7 @@ def test_enable_compilation_cache_points_xla_at_dir(tmp_path):
 
 
 def test_enable_compilation_cache_uncreatable_dir_disables_not_crashes(
-        tmp_path, caplog):
+        tmp_path):
     """The cache is default-on for the serving CLIs, so an uncreatable
     directory (read-only HOME in a container) must degrade to no-cache
     with a warning, not a startup traceback."""
@@ -110,13 +110,21 @@ def test_enable_compilation_cache_uncreatable_dir_disables_not_crashes(
     blocker = tmp_path / "blocker"
     blocker.write_text("not a directory")
     before = jax.config.jax_compilation_cache_dir
+    # Capture on the module logger itself: configure_logger (run by
+    # earlier CLI tests in a full-suite order) stops propagation at the
+    # package logger, so caplog's root handler would miss the record.
+    records = []
+    handler = logging.Handler()
+    handler.emit = records.append
+    lg = logging.getLogger("openset_imagenet_tpu.util")
+    lg.addHandler(handler)
     try:
-        with caplog.at_level(logging.WARNING):
-            out = util.enable_compilation_cache(blocker / "xla")
+        out = util.enable_compilation_cache(blocker / "xla")
         assert out is None
         # XLA was never pointed at the unusable directory.
         assert jax.config.jax_compilation_cache_dir == before
-        assert any("compilation cache disabled" in r.message
-                   for r in caplog.records)
+        assert any("compilation cache disabled" in r.getMessage()
+                   for r in records)
     finally:
+        lg.removeHandler(handler)
         jax.config.update("jax_compilation_cache_dir", before)
