@@ -288,6 +288,12 @@ class OpenSetPredictor:
             # decodes in one batch as usual.
             hits = [self._decoded_cache.get(p) for p in paths]
             if all(h is not None for h in hits):
+                # One-shot: the cache exists only to skip the immediate
+                # re-decode of the calibration files.  Dropping it after
+                # the first whole-chunk hit bounds memory for long-lived
+                # daemons and can never serve stale pixels if a file is
+                # later overwritten on disk.
+                self._decoded_cache = {}
                 return np.stack(hits)
         # Shared serving decode policy (one source of truth with the
         # int8-calibration loader); the reader is cached across calls.

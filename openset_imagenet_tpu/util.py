@@ -12,7 +12,6 @@ from collections import defaultdict
 from pathlib import Path
 
 import numpy as np
-import pandas as pd
 
 from .config import NameSpace, load_yaml  # noqa: F401  (parity re-export)
 from .ops.oscr import calculate_oscr, ccr_at_fpr  # noqa: F401
@@ -43,7 +42,7 @@ def resolve_compile_cache(flag_value):
             or DEFAULT_COMPILE_CACHE)
 
 
-def enable_compilation_cache(cache_dir) -> Path:
+def enable_compilation_cache(cache_dir) -> Path | None:
     """Point XLA's persistent compilation cache at ``cache_dir``.
 
     One shared switch for every surface that pays a whole-model XLA
@@ -91,30 +90,73 @@ def enable_compilation_cache(cache_dir) -> Path:
     return path
 
 
+class SplitTable:
+    """Tiny column/row table standing in for the reference's DataFrame.
+
+    Supports the access patterns the analysis surface actually uses —
+    ``table["col"]`` (column as list), ``table.rows`` (list of dicts),
+    ``len``, iteration over rows, and a readable ``str`` — without a
+    pandas dependency in the package.
+    """
+
+    def __init__(self, columns, rows):
+        self.columns = list(columns)
+        self.rows = [dict(zip(self.columns, r)) for r in rows]
+
+    def __getitem__(self, column):
+        return [row[column] for row in self.rows]
+
+    def __len__(self):
+        return len(self.rows)
+
+    def __iter__(self):
+        return iter(self.rows)
+
+    def __str__(self):
+        widths = [max(len(str(c)), *(len(self._fmt(r[c]))
+                                     for r in self.rows))
+                  for c in self.columns] if self.rows else \
+                 [len(str(c)) for c in self.columns]
+        head = "  ".join(c.rjust(w) for c, w in zip(self.columns, widths))
+        body = "\n".join(
+            "  ".join(self._fmt(r[c]).rjust(w)
+                      for c, w in zip(self.columns, widths))
+            for r in self.rows)
+        return head + ("\n" + body if body else "")
+
+    @staticmethod
+    def _fmt(v):
+        return f"{v:.2f}" if isinstance(v, float) else str(v)
+
+
 def dataset_info(protocol_data_dir):
-    """Data frame with per-split known/negative/unknown composition.
+    """Table with per-split known/negative/unknown composition.
 
     Parity: reference ``util.py:38-66`` (reads ``train.csv``,
-    ``validation.csv``, ``test.csv`` in the given directory).
+    ``validation.csv``, ``test.csv`` in the given directory; same
+    columns).  Returns a :class:`SplitTable` instead of a DataFrame.
     """
+    import csv
+
     data_dir = Path(protocol_data_dir)
     files = {"train": data_dir / "train.csv",
              "val": data_dir / "validation.csv",
              "test": data_dir / "test.csv"}
     data = []
     for split, path in files.items():
-        df = pd.read_csv(path, header=None)
-        size = len(df)
-        kn_size = int((df[1] >= 0).sum())
-        kn_unk_size = int((df[1] == -1).sum())
-        unk_unk_size = int((df[1] == -2).sum())
-        data.append((split, len(df[1].unique()), size,
+        with open(path, newline="") as f:
+            labels = [int(row[1]) for row in csv.reader(f) if row]
+        size = len(labels)
+        kn_size = sum(1 for l in labels if l >= 0)
+        kn_unk_size = sum(1 for l in labels if l == -1)
+        unk_unk_size = sum(1 for l in labels if l == -2)
+        data.append((split, len(set(labels)), size,
                      kn_size, 100 * kn_size / size,
                      kn_unk_size, 100 * kn_unk_size / size,
                      unk_unk_size, 100 * unk_unk_size / size))
-    return pd.DataFrame(data, columns=[
+    return SplitTable([
         "split", "classes", "size", "kn size", "kn (%)", "kn_unk size",
-        "kn_unk (%)", "unk_unk size", "unk_unk (%)"])
+        "kn_unk (%)", "unk_unk size", "unk_unk (%)"], data)
 
 
 def read_array_list(file_names):

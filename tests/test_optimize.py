@@ -363,13 +363,18 @@ def test_int8_path_calibration_decodes_each_file_once(trained, tmp_path,
     pred = OpenSetPredictor(trained, image_size=32, optimize="int8",
                             calibration=paths[:4])
     assert sorted(decoded) == sorted(paths[:4])
+    cached_pixels = dict(pred._decoded_cache)
     c_cached, s_cached = pred.predict(paths[:4])
     assert sorted(decoded) == sorted(paths[:4]), "cache hit decoded again"
+    # One-shot: the cache's only purpose is skipping that immediate
+    # re-decode — after the hit it is dropped (bounds daemon memory,
+    # never serves stale pixels for later-overwritten files).
+    assert pred._decoded_cache == {}
     # The cached pixels ARE the serving pixels: a fresh predictor (no
     # cache) on the same files must agree bitwise on scores.
     fresh = OpenSetPredictor(trained, image_size=32, optimize="int8",
                              calibration=np.stack(
-                                 [pred._decoded_cache[p]
+                                 [cached_pixels[p]
                                   for p in paths[:4]]))
     c_fresh, s_fresh = fresh.predict(paths[:4])
     np.testing.assert_array_equal(np.asarray(c_cached), np.asarray(c_fresh))

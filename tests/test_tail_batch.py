@@ -190,12 +190,12 @@ def test_worker_reuses_main_step_for_ghost_tail(tmp_path, monkeypatch):
     orig_train_epoch = engine.train_epoch
 
     def spy(state, pipeline, epoch, train_step, trackers, progress=False,
-            tail_step=None):
+            tail_step=None, **kwargs):
         captured["same"] = tail_step is train_step
         captured["has_tail"] = tail_step is not None
         return orig_train_epoch(state, pipeline, epoch, train_step,
                                 trackers, progress=progress,
-                                tail_step=tail_step)
+                                tail_step=tail_step, **kwargs)
 
     monkeypatch.setattr(engine, "train_epoch", spy)
     write_protocol_csvs(tmp_path)  # 37 samples, batch 8 -> tail 5

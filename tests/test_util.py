@@ -14,13 +14,17 @@ def test_dataset_info(tmp_path):
         pd.DataFrame({0: [f"a/{i}.jpg" for i in range(len(labels))],
                       1: labels}).to_csv(tmp_path / f"{name}.csv",
                                          header=False, index=False)
-    df = util.dataset_info(tmp_path)
-    assert list(df["split"]) == ["train", "val", "test"]
-    test_row = df[df["split"] == "test"].iloc[0]
+    table = util.dataset_info(tmp_path)
+    assert list(table["split"]) == ["train", "val", "test"]
+    test_row = next(r for r in table.rows if r["split"] == "test")
     assert test_row["size"] == 4
     assert test_row["kn size"] == 2
     assert test_row["kn_unk size"] == 1
     assert test_row["unk_unk size"] == 1
+    # Readable render without pandas: header + one line per split.
+    rendered = str(table)
+    assert rendered.splitlines()[0].lstrip().startswith("split")
+    assert len(rendered.splitlines()) == 4
 
 
 def test_read_array_list(tmp_path):
