@@ -15,7 +15,11 @@ host-side, safe to write from a TPU run, no pickle of arbitrary code.  The
 
 Sharded-state note: states produced under a mesh are fully replicated
 (pure DP), so ``np.asarray`` per leaf is exact; loading re-places leaves via
-the caller's sharding when training resumes.
+the caller's sharding when training resumes.  ZeRO-1 runs
+(``opt.zero1``) gather their optimizer shards collectively before the
+write (``train.gather_opt_for_save``) and re-slice on resume
+(``train.place_state``), so the file format — and the bitwise resume
+contract — is identical across all parallelism modes.
 """
 
 from __future__ import annotations

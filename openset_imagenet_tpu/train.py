@@ -374,8 +374,11 @@ def validate_zero1_flags(zero1: bool, parallel_mode: str,
     """Reject the configurations ZeRO-1 sharding cannot serve.
 
     shard_map mode keeps the whole TrainState replicated per device by
-    construction, and multi-process meshes leave optimizer shards on
-    devices the checkpoint writer's host fetch cannot address.
+    construction.  Multi-process meshes ARE supported: the checkpoint
+    path gathers optimizer shards collectively at save time and
+    re-slices them on resume (see :func:`gather_opt_for_save` /
+    :func:`place_state`), so ``process_count`` no longer restricts
+    anything — the parameter stays for call-site compatibility.
     """
     if not zero1:
         return
@@ -383,12 +386,50 @@ def validate_zero1_flags(zero1: bool, parallel_mode: str,
         raise ValueError(
             "opt.zero1 requires parallel_mode: gspmd — the shard_map "
             "step keeps the whole TrainState replicated per device")
-    if process_count > 1:
-        raise ValueError(
-            "opt.zero1 currently supports single-process meshes only: "
-            "the msgpack checkpoint writer fetches the full optimizer "
-            "state, which is not host-addressable when shards live on "
-            "other processes' devices")
+
+
+def _reshard(tree, shardings):
+    """Cross-process-safe on-device re-placement (jitted identity).
+
+    ``jax.device_put`` cannot re-place committed arrays whose shards live
+    on other processes' devices; a jitted identity with ``out_shardings``
+    compiles to exactly the matching XLA collective (an all-gather over
+    ICI when widening to replicated, a local slice when narrowing to
+    shards) and runs as one SPMD program on every rank.
+    """
+    return jax.jit(lambda t: t, out_shardings=shardings)(tree)
+
+
+def place_state(state, state_sh, mesh, zero1: bool):
+    """Place a host-side TrainState according to ``state_sh``.
+
+    Multi-process ZeRO-1: host numpy cannot be ``device_put`` directly
+    into a sharding spanning other processes' devices, so stage it
+    fully replicated first (every host holds identical bytes — the same
+    init seed or the same checkpoint file) and slice into shards on
+    device.  Single-process (and the pure-DP replicated tree) keeps the
+    direct ``device_put``.
+    """
+    if zero1 and jax.process_count() > 1:
+        state = jax.device_put(state, replicated(mesh))
+        return _reshard(state, state_sh)
+    return jax.device_put(state, state_sh)
+
+
+def gather_opt_for_save(state, mesh):
+    """Return ``state`` with a host-numpy, fully-gathered optimizer state.
+
+    ZeRO-1 across processes leaves Adam moments/EMA shards on devices the
+    msgpack writer's host fetch cannot address; one jitted all-gather
+    over ICI re-places them fully replicated, then every rank pulls the
+    (now locally addressable) values to numpy.  COLLECTIVE — all ranks
+    must call this at the same point; only the lead then writes.  The
+    resulting checkpoint is byte-identical to a single-process save
+    (A3's bitwise resume contract extends to sharded optimizer state).
+    """
+    full = _reshard(state.opt_state, replicated(mesh))
+    return state.replace(
+        opt_state=jax.tree.map(lambda x: np.asarray(x), full))
 
 
 def make_train_step(loss_fn: Callable, mesh=None,
@@ -865,7 +906,7 @@ def worker(cfg) -> dict:
     ema_on = bool(float(getattr(cfg.opt, "ema", 0.0) or 0.0))
     state = create_state(model, rng, tx, image_size=image_size)
     state_sh = make_state_shardings(state, mesh, zero1=zero1)
-    state = jax.device_put(state, state_sh)
+    state = place_state(state, state_sh, mesh, zero1)
 
     # -- resume / finetune (reference train.py:372-388) --------------------
     if getattr(cfg, "checkpoint", None):
@@ -907,7 +948,7 @@ def worker(cfg) -> dict:
             train_pipe.close()
             val_pipe.close()
             raise
-        state = jax.device_put(state, state_sh)
+        state = place_state(state, state_sh, mesh, zero1)
         log.info(f"Best score of loaded model: {best_score:.3f}. "
                  "0 is for fine tuning")
         log.info(f"Loaded {cfg.checkpoint} at epoch {start_epoch}"
@@ -999,7 +1040,17 @@ def worker(cfg) -> dict:
                                            False))
             if model_cfg is not None else False}
 
+    # ZeRO-1 across processes: optimizer shards live on other hosts'
+    # devices, so every checkpoint starts with a collective gather that
+    # ALL ranks must run at the same point — _save is therefore called
+    # unconditionally and applies the lead-only-write rule itself.
+    mp_zero1 = zero1 and jax.process_count() > 1
+
     def _save(f_name, save_state, ep, score, progress=None):
+        if mp_zero1:
+            save_state = gather_opt_for_save(save_state, mesh)
+        if not is_lead:
+            return
         extra = {"arch": arch}
         if progress:
             extra["progress"] = progress
@@ -1079,18 +1130,19 @@ def worker(cfg) -> dict:
                 # validation, checkpointing and the shutdown check.
                 return False
             if stop or (ckpt_every and done % ckpt_every == 0):
-                if is_lead:
-                    # Epoch ep is NOT finished: store ep-1 so the
-                    # payload's `epoch` field (completed epochs, which
-                    # doubles as the resume start epoch for
-                    # progress-unaware consumers — finetune, torch
-                    # export, the plot layer) stays truthful; those
-                    # consumers restart epoch ep from batch 0 instead of
-                    # silently skipping its untrained remainder.  The
-                    # worker's own resume uses extra.progress for the
-                    # exact (epoch, batch) point.
-                    _save(curr_name, st, ep - 1, best_score,
-                          progress={"epoch": ep, "next_batch": done})
+                # Every rank reaches this condition at the same step
+                # (stop/ckpt_every are deterministic and agreement-
+                # gated), so _save's collective gather is safe; only the
+                # lead writes.  Epoch ep is NOT finished: store ep-1 so
+                # the payload's `epoch` field (completed epochs, which
+                # doubles as the resume start epoch for progress-unaware
+                # consumers — finetune, torch export, the plot layer)
+                # stays truthful; those consumers restart epoch ep from
+                # batch 0 instead of silently skipping its untrained
+                # remainder.  The worker's own resume uses
+                # extra.progress for the exact (epoch, batch) point.
+                _save(curr_name, st, ep - 1, best_score,
+                      progress={"epoch": ep, "next_batch": done})
             if stop:
                 interrupted["at"] = done
             return stop
@@ -1160,8 +1212,10 @@ def worker(cfg) -> dict:
                         # eval_step's in_shardings pin params
                         # replicated, so re-place the shadow (one
                         # all-gather over ICI) before validation.
-                        ema_params = jax.device_put(
-                            ema_params, state_sh.params)
+                        # _reshard, not device_put: shadow shards may
+                        # live on other processes' devices.
+                        ema_params = _reshard(ema_params,
+                                              state_sh.params)
                     eval_state = state.replace(params=ema_params)
             validate(eval_state, val_pipe, epoch, eval_step, v_metrics)
             curr_score = v_metrics["conf_kn"].avg + v_metrics["conf_unk"].avg
@@ -1180,14 +1234,16 @@ def worker(cfg) -> dict:
                 f"train:{dict(t_metrics)} val:{dict(v_metrics)} "
                 f"t:{train_time:.1f}s v:{val_time:.1f}s")
 
-            if is_lead:
-                _save(curr_name, state, epoch, curr_score)
+            # _save on every rank: curr_score is identical across ranks
+            # (global-batch validation), so all ranks agree on whether a
+            # _best follows; the collective gather inside _save needs
+            # them all, and only the lead writes.
+            _save(curr_name, state, epoch, curr_score)
             if curr_score > best_score:
                 best_score = curr_score
                 ckpt_name = str(out_dir / cfg.name) + "_best.pth"
                 log.info(f"Saving best model {ckpt_name} at epoch: {epoch}")
-                if is_lead:
-                    _save(ckpt_name, eval_state, epoch, best_score)
+                _save(ckpt_name, eval_state, epoch, best_score)
 
             if early_stopping is not None:
                 early_stopping(metrics=curr_score, loss=False)

@@ -31,6 +31,10 @@ def main():
     p.add_argument("--max-steps", type=int, default=0)
     p.add_argument("--preempt-mode", default=None)
     p.add_argument("--preempt-check-steps", type=int, default=0)
+    # ZeRO-1 optimizer-state partitioning across the REAL process group
+    # (collective checkpoint gather + staged resume placement).
+    p.add_argument("--zero1", action="store_true")
+    p.add_argument("--ema", type=float, default=0.0)
     args = p.parse_args()
 
     # Join the cluster BEFORE any backend use.  Generous timeouts: N jax
@@ -66,6 +70,10 @@ def main():
         cfg.preempt_mode = args.preempt_mode
     if args.preempt_check_steps:
         cfg.preempt_check_steps = args.preempt_check_steps
+    if args.zero1:
+        cfg.opt.zero1 = True
+    if args.ema:
+        cfg.opt.ema = args.ema
     pid = jax.process_index()
 
     info = engine.worker(cfg)

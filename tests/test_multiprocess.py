@@ -230,6 +230,57 @@ def test_midepoch_resume_across_process_group_is_bitwise(tmp_path):
 
 
 @pytest.mark.slow
+def test_zero1_group_resume_is_bitwise_and_matches_replicated(tmp_path):
+    """opt.zero1 across a REAL 2-process group (round-5 lift of the
+    single-process restriction): the collective checkpoint gather +
+    staged resume placement must keep the A3 contract — 1+1 epochs ==
+    2 epochs bitwise, including the gathered optimizer state — and the
+    sharded run's parameters must match a replicated group run (the
+    partitioning is a pure re-layout).  EMA on, so the shadow rides the
+    sharded opt_state through gather and resume too."""
+    write_protocol_csvs(tmp_path)
+    z1 = ["--zero1", "--ema", "0.9"]
+    assert launch([CHILD, "--dir", str(tmp_path), "--epochs", "2",
+                   "--tag", "zstraight", "--out-sub", "z_straight"] + z1,
+                  nproc=2, cpu=True, devices_per_process=2) == [0, 0]
+    assert launch([CHILD, "--dir", str(tmp_path), "--epochs", "1",
+                   "--tag", "z1a", "--out-sub", "z_resumed"] + z1,
+                  nproc=2, cpu=True, devices_per_process=2) == [0, 0]
+    ckpt = tmp_path / "z_resumed" / "entropic_curr.pth"
+    assert launch([CHILD, "--dir", str(tmp_path), "--epochs", "2",
+                   "--tag", "z1b", "--out-sub", "z_resumed",
+                   "--checkpoint", str(ckpt)] + z1,
+                  nproc=2, cpu=True, devices_per_process=2) == [0, 0]
+    # Replicated group run for the re-layout equivalence check.
+    assert launch([CHILD, "--dir", str(tmp_path), "--epochs", "2",
+                   "--tag", "zrep", "--out-sub", "z_rep",
+                   "--ema", "0.9"],
+                  nproc=2, cpu=True, devices_per_process=2) == [0, 0]
+
+    import jax
+    from flax import serialization
+
+    def payload(path):
+        with open(path, "rb") as f:
+            return serialization.msgpack_restore(f.read())
+
+    pa = payload(tmp_path / "z_straight" / "entropic_curr.pth")
+    pb = payload(ckpt)
+    # Bitwise across the group resume: params AND the gathered opt state
+    # (Adam moments + EMA shadow made a round trip through shards).
+    for key in ("model_state_dict", "opt_state_dict", "batch_stats"):
+        for x, y in zip(jax.tree.leaves(pa[key]), jax.tree.leaves(pb[key]),
+                        strict=True):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    # Pure re-layout: same training math as the replicated group run.
+    pr = payload(tmp_path / "z_rep" / "entropic_curr.pth")
+    for x, y in zip(jax.tree.leaves(pa["model_state_dict"]),
+                    jax.tree.leaves(pr["model_state_dict"]), strict=True):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   atol=1e-5, rtol=1e-4)
+
+
+@pytest.mark.slow
 def test_resume_across_process_group_is_bitwise(tmp_path):
     """1 epoch + resume(1 epoch) == 2 epochs, on a 2-process cluster."""
     write_protocol_csvs(tmp_path)

@@ -208,7 +208,8 @@ def test_worker_zero1_with_ema_validates(tmp_path):
 def test_zero1_flag_validation():
     engine.validate_zero1_flags(False, "shard_map", 2)  # off: anything goes
     engine.validate_zero1_flags(True, "gspmd", 1)
+    # Multi-process is supported since round 5 (collective checkpoint
+    # gather + staged resume placement) — no raise.
+    engine.validate_zero1_flags(True, "gspmd", 2)
     with pytest.raises(ValueError, match="gspmd"):
         engine.validate_zero1_flags(True, "shard_map", 1)
-    with pytest.raises(ValueError, match="single-process"):
-        engine.validate_zero1_flags(True, "gspmd", 2)
