@@ -48,6 +48,11 @@ def get_args(argv=None):
                              "companions before dispatching (0 = never "
                              "wait; simultaneous arrivals still share a "
                              "forward)")
+    parser.add_argument("--request-timeout", type=float, default=30.0,
+                        metavar="SECONDS",
+                        help="Bounded wait for a prediction; past it the "
+                             "request fails 503 and /healthz reports the "
+                             "device thread wedged (0 = wait forever)")
     parser.add_argument("--no-warmup", action="store_true",
                         help="Skip pre-compiling the batch buckets at "
                              "start-up (first requests then pay the XLA "
@@ -193,7 +198,8 @@ def main(argv=None):
 
     server = PredictionServer((args.host, args.port), predictor,
                               max_batch=args.max_batch,
-                              window_ms=args.batch_window_ms)
+                              window_ms=args.batch_window_ms,
+                              request_timeout_s=args.request_timeout)
     stop = threading.Event()
     if threading.current_thread() is threading.main_thread():
         for sig in (signal.SIGINT, signal.SIGTERM):

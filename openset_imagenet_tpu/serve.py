@@ -154,6 +154,17 @@ class ServerStats:
             }
 
 
+class PredictionTimeout(RuntimeError):
+    """A request waited longer than the server's bounded-wait budget.
+
+    Raised by :meth:`DynamicBatcher.submit_many`; the HTTP layer maps it
+    to ``503`` so a wedged device thread degrades to fast failures
+    instead of hanging every handler thread forever (this environment
+    can wedge a TPU chip's claim — liveness must not depend on the
+    forward ever returning).
+    """
+
+
 class _Pending:
     __slots__ = ("image", "event", "result", "error")
 
@@ -177,7 +188,8 @@ class DynamicBatcher:
     _SHUTDOWN = object()
 
     def __init__(self, predictor, max_batch: int = 64,
-                 window_ms: float = 2.0):
+                 window_ms: float = 2.0,
+                 request_timeout_s: Optional[float] = 30.0):
         fixed = getattr(predictor, "_fixed_batch", None)
         if fixed is not None:
             # Fixed-batch artifacts accept exactly one shape; never
@@ -188,9 +200,19 @@ class DynamicBatcher:
         self._predictor = predictor
         self.max_batch = int(max_batch)
         self.window = max(0.0, float(window_ms)) / 1000.0
+        # None/0 = wait forever (the pre-round-5 behavior, opt-in only).
+        self.request_timeout = (float(request_timeout_s)
+                                if request_timeout_s else None)
         self.stats = ServerStats()
         self._q: "queue.Queue" = queue.Queue()
         self._closed = threading.Event()
+        # Liveness bookkeeping (read by /healthz): when the current
+        # forward started (None = device thread idle/waiting) and when
+        # the last one completed.  Guarded by _health_lock — the batcher
+        # thread writes, handler threads read.
+        self._health_lock = threading.Lock()
+        self._forward_started: Optional[float] = None
+        self._last_forward_done: Optional[float] = None
         # Serialises enqueues against close(): the shutdown sentinel is
         # guaranteed to land AFTER every accepted request's pendings, so
         # nothing the batcher thread ever dequeues post-sentinel is a
@@ -202,20 +224,71 @@ class DynamicBatcher:
 
     # -- client side --------------------------------------------------------
     def submit_many(self, images) -> list:
-        """Blocking: returns ``[(prediction, score, features), ...]``."""
+        """Blocking: returns ``[(prediction, score, features), ...]``.
+
+        Waits at most ``request_timeout_s`` (wall clock, across the whole
+        request) for the batcher thread; raises
+        :class:`PredictionTimeout` after that.  The timed-out images may
+        still be forwarded later — the device thread is not interrupted
+        (interrupting a dispatched XLA program is not safe) — but no
+        handler thread ever blocks unboundedly on it.
+        """
         pendings = [_Pending(np.asarray(img, np.uint8)) for img in images]
         with self._submit_lock:
             if self._closed.is_set():
                 raise RuntimeError("server is shutting down")
             for p in pendings:
                 self._q.put(p)
+        deadline = (time.monotonic() + self.request_timeout
+                    if self.request_timeout else None)
         results = []
         for p in pendings:
-            p.event.wait()
+            if deadline is None:
+                p.event.wait()
+            elif not p.event.wait(max(0.0, deadline - time.monotonic())):
+                raise PredictionTimeout(
+                    f"prediction did not complete within "
+                    f"{self.request_timeout:.0f}s "
+                    f"(device thread {'wedged mid-forward' if self.forward_age() is not None else 'backlogged'}; "
+                    f"queue depth {self.queue_depth()})")
             if p.error is not None:
                 raise p.error
             results.append(p.result)
         return results
+
+    # -- liveness (read by /healthz) ----------------------------------------
+    def queue_depth(self) -> int:
+        """Images waiting in the queue (excludes the batch in flight)."""
+        return self._q.qsize()
+
+    def forward_age(self) -> Optional[float]:
+        """Seconds the CURRENT forward has been running; None when idle."""
+        with self._health_lock:
+            if self._forward_started is None:
+                return None
+            return time.monotonic() - self._forward_started
+
+    def last_forward_age(self) -> Optional[float]:
+        """Seconds since the last completed forward; None before any."""
+        with self._health_lock:
+            if self._last_forward_done is None:
+                return None
+            return time.monotonic() - self._last_forward_done
+
+    def health(self) -> dict:
+        """Batcher liveness snapshot.  ``wedged`` goes true when one
+        forward has been running longer than the request timeout — an
+        idle daemon (no traffic) is always healthy."""
+        fwd = self.forward_age()
+        last = self.last_forward_age()
+        wedged = bool(self.request_timeout and fwd is not None
+                      and fwd > self.request_timeout)
+        return {"queue_depth": self.queue_depth(),
+                "inflight_forward_s": round(fwd, 3) if fwd is not None
+                else None,
+                "last_forward_age_s": round(last, 3) if last is not None
+                else None,
+                "wedged": wedged}
 
     def close(self) -> None:
         with self._submit_lock:
@@ -223,7 +296,18 @@ class DynamicBatcher:
                 return
             self._closed.set()
             self._q.put(self._SHUTDOWN)
-        self._thread.join()
+        # A wedged forward would hold the (daemonic) batcher thread
+        # forever; bound the join so SIGTERM shutdown of a wedged daemon
+        # exits instead of hanging — the drain below still fail-fasts
+        # every queued request either way.
+        grace = (self.request_timeout or 30.0) + 5.0
+        self._thread.join(timeout=grace)
+        if self._thread.is_alive():
+            import logging
+            logging.getLogger(__name__).warning(
+                "batcher thread still running %.0fs after shutdown "
+                "(wedged forward?); abandoning it — daemon threads die "
+                "with the process", grace)
         # Defensive: fail-fast anything still queued (cannot happen with
         # the submit lock honoured, but an abandoned pending would hang
         # its handler thread forever).
@@ -265,6 +349,8 @@ class DynamicBatcher:
                 return
             try:
                 images = np.stack([p.image for p in batch])
+                with self._health_lock:
+                    self._forward_started = time.monotonic()
                 preds, scores, feats = self._predictor.predict(
                     images, return_features=True)
                 for i, p in enumerate(batch):
@@ -276,6 +362,9 @@ class DynamicBatcher:
             else:
                 self.stats.count_batch(len(batch))
             finally:
+                with self._health_lock:
+                    self._forward_started = None
+                    self._last_forward_done = time.monotonic()
                 for p in batch:
                     p.event.set()
 
@@ -308,13 +397,20 @@ class _Handler(BaseHTTPRequestHandler):
         path = urlsplit(self.path).path
         if path == "/healthz":
             p = self.server.predictor
-            self._send_json(200, {
-                "status": "ok",
+            health = self.server.batcher.health()
+            # Liveness, not just readiness: a wedged device thread (one
+            # forward running past the request timeout) flips the probe
+            # non-200 so orchestrators restart the daemon instead of
+            # routing traffic into hung handler threads.
+            wedged = health["wedged"]
+            self._send_json(503 if wedged else 200, {
+                "status": "wedged" if wedged else "ok",
                 "n_classes": p.n_classes,
                 "image_size": p.image_size,
                 "threshold": p.threshold,
                 "mode": p.mode,
                 "has_background": p.has_background,
+                "batcher": health,
             })
         elif path == "/stats":
             self._send_json(200, self.server.batcher.stats.snapshot())
@@ -374,6 +470,9 @@ class _Handler(BaseHTTPRequestHandler):
         self.server.batcher.stats.count_request(len(images))
         try:
             results = self.server.batcher.submit_many(images)
+        except PredictionTimeout as exc:
+            self._error(503, f"prediction timed out: {exc}")
+            return
         except Exception as exc:
             self._error(500, f"prediction failed: {exc}")
             return
@@ -403,7 +502,8 @@ class PredictionServer(ThreadingHTTPServer):
     request_queue_size = 128
 
     def __init__(self, address, predictor, max_batch: int = 64,
-                 window_ms: float = 2.0):
+                 window_ms: float = 2.0,
+                 request_timeout_s: Optional[float] = 30.0):
         from .logger import configure_logger
         from .train import _resize_for_crop
 
@@ -414,7 +514,8 @@ class PredictionServer(ThreadingHTTPServer):
         # Bind first: a port-in-use failure must not leak a batcher thread.
         super().__init__(address, _Handler)
         self.batcher = DynamicBatcher(predictor, max_batch=max_batch,
-                                      window_ms=window_ms)
+                                      window_ms=window_ms,
+                                      request_timeout_s=request_timeout_s)
 
     def start(self) -> "PredictionServer":
         """Serve in a background thread (the CLI's and tests' mode —

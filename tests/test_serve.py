@@ -4,6 +4,7 @@ import base64
 import io
 import json
 import threading
+import time
 import urllib.error
 import urllib.request
 
@@ -78,11 +79,16 @@ def _predictor_reference(predictor, blob):
 def test_healthz_reports_operating_point(server, predictor):
     with urllib.request.urlopen(_url(server, "/healthz"), timeout=30) as r:
         info = json.loads(r.read())
+    batcher = info.pop("batcher")
     assert info == {
         "status": "ok", "n_classes": 3, "image_size": 32,
         "threshold": predictor.threshold, "mode": "softmax",
         "has_background": False,
     }
+    # Liveness block: idle daemon -> no forward in flight, not wedged.
+    assert batcher["wedged"] is False
+    assert batcher["inflight_forward_s"] is None
+    assert batcher["queue_depth"] == 0
 
 
 def test_single_image_matches_offline_predictor(server, predictor):
@@ -344,6 +350,126 @@ def test_batcher_propagates_predict_errors_and_recovers():
         b.close()
     with pytest.raises(RuntimeError, match="shutting down"):
         b.submit_many([np.zeros((8, 8, 3), np.uint8)])
+
+
+def test_wedged_device_thread_degrades_healthz_and_bounds_waits():
+    """VERDICT round-4 #5: a forward that never returns must not hang
+    every handler thread while healthz keeps answering ok.  With a
+    deliberately-hung predictor, requests fail bounded (503-mapped
+    PredictionTimeout) and /healthz flips to 503 status=wedged; once the
+    forward completes, health recovers."""
+    from openset_imagenet_tpu.serve import (DynamicBatcher,
+                                            PredictionTimeout,
+                                            PredictionServer)
+
+    release = threading.Event()
+
+    class Hung:
+        # The geometry attributes healthz/decode read off a predictor.
+        n_classes = 2
+        image_size = 32
+        threshold = None
+        mode = "softmax"
+        has_background = False
+
+        def predict(self, images, return_features=False):
+            assert release.wait(30), "test deadlock"
+            n = len(images)
+            return (np.zeros(n, int), np.ones(n, np.float32),
+                    np.zeros((n, 2), np.float32))
+
+    srv = PredictionServer(("127.0.0.1", 0), Hung(), max_batch=4,
+                           window_ms=0.0, request_timeout_s=0.5).start()
+    try:
+        img = np.zeros((8, 8, 3), np.uint8)
+        t0 = time.monotonic()
+        with pytest.raises(PredictionTimeout, match="did not complete"):
+            srv.batcher.submit_many([img])
+        assert time.monotonic() - t0 < 5.0, "wait was not bounded"
+        # The forward is still wedged: give the age check a margin past
+        # the timeout, then the probe must be non-200 with diagnostics.
+        time.sleep(0.2)
+        with pytest.raises(urllib.error.HTTPError) as err:
+            urllib.request.urlopen(_url(srv, "/healthz"), timeout=30)
+        assert err.value.code == 503
+        info = json.loads(err.value.read())
+        assert info["status"] == "wedged"
+        assert info["batcher"]["wedged"] is True
+        assert info["batcher"]["inflight_forward_s"] > 0.5
+        # An HTTP request also fails bounded with 503, not a hang.
+        req = urllib.request.Request(
+            _url(srv, "/v1/predict"), data=_jpeg_bytes(0), method="POST",
+            headers={"Content-Type": "image/jpeg"})
+        with pytest.raises(urllib.error.HTTPError) as err:
+            urllib.request.urlopen(req, timeout=30)
+        assert err.value.code == 503
+        assert "timed out" in json.loads(err.value.read())["error"]
+        # Unwedge: the device thread finishes, health recovers.
+        release.set()
+        deadline = time.monotonic() + 10
+        while time.monotonic() < deadline:
+            try:
+                with urllib.request.urlopen(_url(srv, "/healthz"),
+                                            timeout=30) as r:
+                    info = json.loads(r.read())
+                break
+            except urllib.error.HTTPError:
+                time.sleep(0.05)
+        assert info["status"] == "ok"
+        assert info["batcher"]["wedged"] is False
+        assert info["batcher"]["last_forward_age_s"] is not None
+    finally:
+        release.set()
+        srv.close()
+
+
+def test_close_with_wedged_forward_returns_bounded():
+    """SIGTERM shutdown of a daemon whose forward is wedged must exit:
+    close() abandons the (daemonic) batcher thread after a bounded join
+    instead of blocking forever on it."""
+    from openset_imagenet_tpu.serve import DynamicBatcher, PredictionTimeout
+
+    release = threading.Event()
+
+    class Hung:
+        def predict(self, images, return_features=False):
+            release.wait(60)
+            n = len(images)
+            return (np.zeros(n, int), np.ones(n, np.float32),
+                    np.zeros((n, 2), np.float32))
+
+    b = DynamicBatcher(Hung(), max_batch=4, window_ms=0.0,
+                       request_timeout_s=0.3)
+    try:
+        with pytest.raises(PredictionTimeout):
+            b.submit_many([np.zeros((8, 8, 3), np.uint8)])
+        t0 = time.monotonic()
+        b.close()   # grace = 0.3 + 5.0 s
+        assert time.monotonic() - t0 < 30.0
+    finally:
+        release.set()
+
+
+def test_request_timeout_zero_waits_forever():
+    """request_timeout_s=0/None keeps the pre-round-5 unbounded wait
+    (opt-in): a slow forward completes and the request succeeds."""
+    from openset_imagenet_tpu.serve import DynamicBatcher
+
+    class Slow:
+        def predict(self, images, return_features=False):
+            time.sleep(0.3)
+            n = len(images)
+            return (np.zeros(n, int), np.ones(n, np.float32),
+                    np.zeros((n, 2), np.float32))
+
+    b = DynamicBatcher(Slow(), max_batch=4, window_ms=0.0,
+                       request_timeout_s=0)
+    try:
+        assert b.request_timeout is None
+        out = b.submit_many([np.zeros((8, 8, 3), np.uint8)])
+        assert out[0][0] == 0
+    finally:
+        b.close()
 
 
 def test_serve_cli_args():
