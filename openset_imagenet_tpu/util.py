@@ -49,8 +49,11 @@ def enable_compilation_cache(cache_dir) -> Path | None:
     compile (training sweeps via ``cfg.compilation_cache``, the
     ``predict_imagenet`` / ``serve_imagenet`` serving CLIs via
     ``--compile-cache``): after the first run, identical programs load
-    from disk instead of recompiling — on the TPU target that turns a
-    multi-minute serving-daemon cold start into seconds.
+    from disk instead of recompiling.  Measured
+    (``tools/bench_compile_cache.py``, BENCH.md round-5): 4-6x faster
+    serving cold starts on backends that compile in-process (CPU; PCIe
+    TPU hosts compile locally too); a no-op through a remote-compiling
+    relay backend, where the service owns the compile.
 
     Safe to share between programs/models: XLA keys entries by the HLO
     module, compile options, device kind, and jax/jaxlib versions, so a
