@@ -288,12 +288,15 @@ class OpenSetPredictor:
             # decodes in one batch as usual.
             hits = [self._decoded_cache.get(p) for p in paths]
             if all(h is not None for h in hits):
-                # One-shot: the cache exists only to skip the immediate
-                # re-decode of the calibration files.  Dropping it after
-                # the first whole-chunk hit bounds memory for long-lived
-                # daemons and can never serve stale pixels if a file is
-                # later overwritten on disk.
-                self._decoded_cache = {}
+                # Serve-once: each entry is evicted as it is used, so the
+                # whole calibration set decodes exactly once even when
+                # the prediction pass chunks it (self-calibration is 256
+                # paths, the CLI predicts in chunks of --batch-size),
+                # memory stays bounded for long-lived daemons, and a
+                # later overwrite of one of the files on disk can never
+                # be served stale pixels twice.
+                for p in paths:
+                    self._decoded_cache.pop(p, None)
                 return np.stack(hits)
         # Shared serving decode policy (one source of truth with the
         # int8-calibration loader); the reader is cached across calls.

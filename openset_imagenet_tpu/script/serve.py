@@ -52,7 +52,10 @@ def get_args(argv=None):
                         metavar="SECONDS",
                         help="Bounded wait for a prediction; past it the "
                              "request fails 503 and /healthz reports the "
-                             "device thread wedged (0 = wait forever)")
+                             "device thread wedged (0 = wait forever; "
+                             "the first-ever forward gets a 600s grace "
+                             "floor so --no-warmup compiles are not "
+                             "killed mid-flight)")
     parser.add_argument("--no-warmup", action="store_true",
                         help="Skip pre-compiling the batch buckets at "
                              "start-up (first requests then pay the XLA "

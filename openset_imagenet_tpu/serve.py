@@ -187,6 +187,18 @@ class DynamicBatcher:
 
     _SHUTDOWN = object()
 
+    # Until the FIRST forward has completed, waits and the wedge check
+    # use this floor instead of request_timeout: with --no-warmup (or a
+    # cold compile cache) the first forward legitimately contains a
+    # whole-model XLA compile, which can far exceed a 30 s request
+    # budget — timing it out would 503 the request, flip /healthz to
+    # "wedged", and put a restart-supervised daemon into a permanent
+    # compile -> kill -> compile loop (the persistent cache only fills
+    # AFTER a compile completes).  Warmed-up daemons (the default) have
+    # compiled every bucket before traffic, so this grace never applies
+    # to them in practice.
+    FIRST_FORWARD_GRACE_S = 600.0
+
     def __init__(self, predictor, max_batch: int = 64,
                  window_ms: float = 2.0,
                  request_timeout_s: Optional[float] = 30.0):
@@ -239,22 +251,31 @@ class DynamicBatcher:
                 raise RuntimeError("server is shutting down")
             for p in pendings:
                 self._q.put(p)
-        deadline = (time.monotonic() + self.request_timeout
-                    if self.request_timeout else None)
+        budget = self._effective_timeout()
+        deadline = time.monotonic() + budget if budget else None
         results = []
         for p in pendings:
             if deadline is None:
                 p.event.wait()
             elif not p.event.wait(max(0.0, deadline - time.monotonic())):
                 raise PredictionTimeout(
-                    f"prediction did not complete within "
-                    f"{self.request_timeout:.0f}s "
-                    f"(device thread {'wedged mid-forward' if self.forward_age() is not None else 'backlogged'}; "
+                    f"prediction did not complete within {budget:.0f}s "
+                    f"(device thread "
+                    f"{'wedged mid-forward' if self.forward_age() is not None else 'backlogged'}; "
                     f"queue depth {self.queue_depth()})")
             if p.error is not None:
                 raise p.error
             results.append(p.result)
         return results
+
+    def _effective_timeout(self) -> Optional[float]:
+        """request_timeout, floored to the first-forward grace until one
+        forward has completed (see FIRST_FORWARD_GRACE_S)."""
+        if not self.request_timeout:
+            return None
+        if self.last_forward_age() is None:
+            return max(self.request_timeout, self.FIRST_FORWARD_GRACE_S)
+        return self.request_timeout
 
     # -- liveness (read by /healthz) ----------------------------------------
     def queue_depth(self) -> int:
@@ -277,12 +298,13 @@ class DynamicBatcher:
 
     def health(self) -> dict:
         """Batcher liveness snapshot.  ``wedged`` goes true when one
-        forward has been running longer than the request timeout — an
-        idle daemon (no traffic) is always healthy."""
+        forward has been running longer than the effective timeout (the
+        first forward gets the compile grace) — an idle daemon (no
+        traffic) is always healthy."""
         fwd = self.forward_age()
         last = self.last_forward_age()
-        wedged = bool(self.request_timeout and fwd is not None
-                      and fwd > self.request_timeout)
+        budget = self._effective_timeout()
+        wedged = bool(budget and fwd is not None and fwd > budget)
         return {"queue_depth": self.queue_depth(),
                 "inflight_forward_s": round(fwd, 3) if fwd is not None
                 else None,
@@ -315,6 +337,13 @@ class DynamicBatcher:
             try:
                 item = self._q.get_nowait()
             except queue.Empty:
+                break
+            if item is self._SHUTDOWN:
+                # The submit lock guarantees the sentinel is LAST — but
+                # an abandoned (slow, not dead) batcher thread that
+                # finishes its forward later still needs it to exit
+                # instead of blocking on q.get() forever.
+                self._q.put(item)
                 break
             if isinstance(item, _Pending):
                 item.error = RuntimeError("server is shutting down")

@@ -34,6 +34,7 @@ TPU-first mechanics (deliberately different from the reference):
 
 from __future__ import annotations
 
+import functools
 import pathlib
 import random
 import signal
@@ -388,6 +389,21 @@ def validate_zero1_flags(zero1: bool, parallel_mode: str,
             "step keeps the whole TrainState replicated per device")
 
 
+@functools.lru_cache(maxsize=32)
+def _identity_jit(treedef, sharding_leaves):
+    """Memoized jitted identity for one out-sharding tree.
+
+    jit's dispatch cache is keyed on the wrapped function object, so a
+    fresh ``jax.jit(lambda ...)`` per call would re-trace (and on slow
+    backends re-compile) the identical program at every checkpoint save
+    and every EMA validation.  Shardings and treedefs are hashable, so
+    the wrapper itself is cached per layout.
+    """
+    shardings = jax.tree_util.tree_unflatten(treedef,
+                                             list(sharding_leaves))
+    return jax.jit(lambda t: t, out_shardings=shardings)
+
+
 def _reshard(tree, shardings):
     """Cross-process-safe on-device re-placement (jitted identity).
 
@@ -397,7 +413,8 @@ def _reshard(tree, shardings):
     ICI when widening to replicated, a local slice when narrowing to
     shards) and runs as one SPMD program on every rank.
     """
-    return jax.jit(lambda t: t, out_shardings=shardings)(tree)
+    leaves, treedef = jax.tree_util.tree_flatten(shardings)
+    return _identity_jit(treedef, tuple(leaves))(tree)
 
 
 def place_state(state, state_sh, mesh, zero1: bool):
@@ -416,20 +433,25 @@ def place_state(state, state_sh, mesh, zero1: bool):
     return jax.device_put(state, state_sh)
 
 
-def gather_opt_for_save(state, mesh):
-    """Return ``state`` with a host-numpy, fully-gathered optimizer state.
+def gather_opt_for_save(state, mesh, fetch: bool = True):
+    """Return ``state`` with a fully-gathered optimizer state.
 
     ZeRO-1 across processes leaves Adam moments/EMA shards on devices the
     msgpack writer's host fetch cannot address; one jitted all-gather
-    over ICI re-places them fully replicated, then every rank pulls the
-    (now locally addressable) values to numpy.  COLLECTIVE — all ranks
-    must call this at the same point; only the lead then writes.  The
-    resulting checkpoint is byte-identical to a single-process save
-    (A3's bitwise resume contract extends to sharded optimizer state).
+    over ICI re-places them fully replicated, then (``fetch=True``) the
+    now-locally-addressable values are pulled to host numpy.  The
+    resharding is COLLECTIVE — all ranks must call this at the same
+    point — but only the writing (lead) rank needs the device->host
+    fetch; non-lead ranks pass ``fetch=False`` and skip a transfer of
+    ~2x the parameter footprint per checkpoint that they would only
+    discard.  The resulting checkpoint is byte-identical to a
+    single-process save (A3's bitwise resume contract extends to
+    sharded optimizer state).
     """
     full = _reshard(state.opt_state, replicated(mesh))
-    return state.replace(
-        opt_state=jax.tree.map(lambda x: np.asarray(x), full))
+    if fetch:
+        full = jax.tree.map(lambda x: np.asarray(x), full)
+    return state.replace(opt_state=full)
 
 
 def make_train_step(loss_fn: Callable, mesh=None,
@@ -1048,7 +1070,8 @@ def worker(cfg) -> dict:
 
     def _save(f_name, save_state, ep, score, progress=None):
         if mp_zero1:
-            save_state = gather_opt_for_save(save_state, mesh)
+            save_state = gather_opt_for_save(save_state, mesh,
+                                             fetch=is_lead)
         if not is_lead:
             return
         extra = {"arch": arch}

@@ -366,9 +366,9 @@ def test_int8_path_calibration_decodes_each_file_once(trained, tmp_path,
     cached_pixels = dict(pred._decoded_cache)
     c_cached, s_cached = pred.predict(paths[:4])
     assert sorted(decoded) == sorted(paths[:4]), "cache hit decoded again"
-    # One-shot: the cache's only purpose is skipping that immediate
-    # re-decode — after the hit it is dropped (bounds daemon memory,
-    # never serves stale pixels for later-overwritten files).
+    # Serve-once: entries are evicted as used — after the full set is
+    # served the cache is empty (bounds daemon memory, never serves
+    # stale pixels twice for later-overwritten files).
     assert pred._decoded_cache == {}
     # The cached pixels ARE the serving pixels: a fresh predictor (no
     # cache) on the same files must agree bitwise on scores.
@@ -384,6 +384,20 @@ def test_int8_path_calibration_decodes_each_file_once(trained, tmp_path,
     # itself — it has no path cache).
     pred.predict(paths)
     assert sorted(decoded) == sorted(paths[:4] + paths[:4] + paths)
+
+    # The CLI predicts in CHUNKS of --batch-size (< calibration size):
+    # entries must survive earlier chunks' hits, so the whole set is
+    # served from cache across chunks — no second decode of any file.
+    decoded.clear()
+    pred2 = OpenSetPredictor(trained, image_size=32, optimize="int8",
+                             calibration=paths[:4])
+    assert sorted(decoded) == sorted(paths[:4])
+    pred2.predict(paths[:2])
+    assert sorted(decoded) == sorted(paths[:4]), "chunk 1 re-decoded"
+    assert len(pred2._decoded_cache) == 2    # the unserved half remains
+    pred2.predict(paths[2:4])
+    assert sorted(decoded) == sorted(paths[:4]), "chunk 2 re-decoded"
+    assert pred2._decoded_cache == {}
 
 
 def test_predict_cli_optimize_fold_bn(trained, tmp_path):

@@ -371,9 +371,16 @@ def test_wedged_device_thread_degrades_healthz_and_bounds_waits():
         threshold = None
         mode = "softmax"
         has_background = False
+        calls = 0
 
+        # First call succeeds (a warmed daemon has completed forwards
+        # before traffic; the FIRST forward gets the compile grace, see
+        # test_first_forward_gets_compile_grace); the wedge happens on a
+        # later forward, as it would in production.
         def predict(self, images, return_features=False):
-            assert release.wait(30), "test deadlock"
+            Hung.calls += 1
+            if Hung.calls > 1:
+                assert release.wait(30), "test deadlock"
             n = len(images)
             return (np.zeros(n, int), np.ones(n, np.float32),
                     np.zeros((n, 2), np.float32))
@@ -382,6 +389,7 @@ def test_wedged_device_thread_degrades_healthz_and_bounds_waits():
                            window_ms=0.0, request_timeout_s=0.5).start()
     try:
         img = np.zeros((8, 8, 3), np.uint8)
+        srv.batcher.submit_many([img])   # completes: grace consumed
         t0 = time.monotonic()
         with pytest.raises(PredictionTimeout, match="did not complete"):
             srv.batcher.submit_many([img])
@@ -432,8 +440,12 @@ def test_close_with_wedged_forward_returns_bounded():
     release = threading.Event()
 
     class Hung:
+        calls = 0
+
         def predict(self, images, return_features=False):
-            release.wait(60)
+            Hung.calls += 1
+            if Hung.calls > 1:
+                release.wait(60)
             n = len(images)
             return (np.zeros(n, int), np.ones(n, np.float32),
                     np.zeros((n, 2), np.float32))
@@ -441,6 +453,7 @@ def test_close_with_wedged_forward_returns_bounded():
     b = DynamicBatcher(Hung(), max_batch=4, window_ms=0.0,
                        request_timeout_s=0.3)
     try:
+        b.submit_many([np.zeros((8, 8, 3), np.uint8)])  # grace consumed
         with pytest.raises(PredictionTimeout):
             b.submit_many([np.zeros((8, 8, 3), np.uint8)])
         t0 = time.monotonic()
@@ -448,6 +461,48 @@ def test_close_with_wedged_forward_returns_bounded():
         assert time.monotonic() - t0 < 30.0
     finally:
         release.set()
+
+
+def test_first_forward_gets_compile_grace(monkeypatch):
+    """A --no-warmup daemon's first forward legitimately contains the
+    whole-model XLA compile; it must NOT be 503'd/flagged wedged by the
+    30s request budget (that would put a restart-supervised daemon into
+    a permanent compile->kill loop).  The first forward gets the grace
+    floor; once one forward completed, the normal timeout applies."""
+    from openset_imagenet_tpu.serve import DynamicBatcher
+
+    class SlowFirst:
+        calls = 0
+
+        def predict(self, images, return_features=False):
+            SlowFirst.calls += 1
+            if SlowFirst.calls == 1:
+                time.sleep(0.8)       # "compile" > request_timeout
+            n = len(images)
+            return (np.zeros(n, int), np.ones(n, np.float32),
+                    np.zeros((n, 2), np.float32))
+
+    monkeypatch.setattr(DynamicBatcher, "FIRST_FORWARD_GRACE_S", 5.0)
+    b = DynamicBatcher(SlowFirst(), max_batch=4, window_ms=0.0,
+                       request_timeout_s=0.3)
+    try:
+        assert b._effective_timeout() == 5.0
+        # During the slow first forward the probe must NOT say wedged.
+        done = {}
+
+        def submit():
+            done["out"] = b.submit_many([np.zeros((8, 8, 3), np.uint8)])
+
+        t = threading.Thread(target=submit)
+        t.start()
+        time.sleep(0.5)               # inside the slow first forward
+        assert b.health()["wedged"] is False
+        t.join(10)
+        assert done["out"][0][0] == 0  # succeeded despite 0.8s > 0.3s
+        # Grace is consumed: the budget is the plain timeout now.
+        assert b._effective_timeout() == 0.3
+    finally:
+        b.close()
 
 
 def test_request_timeout_zero_waits_forever():
