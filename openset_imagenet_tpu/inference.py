@@ -147,6 +147,12 @@ class OpenSetPredictor:
                              "optimize='int8'")
         self._reader = None
         self._decoded_cache = {}
+        # Bucket sizes whose forward program has completed at least once
+        # (so its XLA compile is certainly behind us).  The serving
+        # daemon's wedge detection reads this through
+        # :meth:`buckets_compiled_up_to` to distinguish "legitimately
+        # compiling" from "wedged".
+        self._warm_buckets: set = set()
         if str(checkpoint).endswith(ARTIFACT_SUFFIX):
             if optimize is not None:
                 raise ValueError(
@@ -327,6 +333,23 @@ class OpenSetPredictor:
         unit = self._bucket_unit
         return unit * (1 << max(0, (-(-n // unit) - 1)).bit_length())
 
+    def buckets_compiled_up_to(self, max_batch: int) -> bool:
+        """True once every bucket the ladder can serve up to ``max_batch``
+        has completed a forward (== all its XLA compiles are done).
+
+        The serving daemon's wedge detector uses this as ground truth
+        for "could the in-flight forward legitimately be a compile?":
+        a cold bucket anywhere in the ladder means a long forward may be
+        compiling, a fully warm ladder means it cannot be.
+        """
+        b = self._bucket(1)
+        while True:
+            if b not in self._warm_buckets:
+                return False
+            if b >= max_batch:
+                return True
+            b = self._bucket(b + 1)
+
     def warmup(self, max_batch: int = 256) -> "OpenSetPredictor":
         """Pre-compile every bucketed batch shape up to ``max_batch``.
 
@@ -346,6 +369,7 @@ class OpenSetPredictor:
             # Scalar fetch = real synchronization (block_until_ready is a
             # no-op through some remote-device transports).
             float(np.asarray(scores)[0, 0])
+            self._warm_buckets.add(b)
             if b >= max_batch:
                 return self
             b = self._bucket(b + 1)
@@ -372,6 +396,8 @@ class OpenSetPredictor:
         logits, features, scores = outputs
         scores = np.asarray(scores)[:n]
         features = np.asarray(features)[:n]
+        # The fetch above completed -> this bucket's compile is behind us.
+        self._warm_buckets.add(self._bucket(n))
         class_scores = scores[:, :-1] if self.has_background else scores
         pred = np.argmax(class_scores, axis=-1)
         conf = np.max(class_scores, axis=-1)

@@ -187,16 +187,17 @@ class DynamicBatcher:
 
     _SHUTDOWN = object()
 
-    # Until the FIRST forward has completed, waits and the wedge check
-    # use this floor instead of request_timeout: with --no-warmup (or a
-    # cold compile cache) the first forward legitimately contains a
-    # whole-model XLA compile, which can far exceed a 30 s request
-    # budget — timing it out would 503 the request, flip /healthz to
-    # "wedged", and put a restart-supervised daemon into a permanent
-    # compile -> kill -> compile loop (the persistent cache only fills
-    # AFTER a compile completes).  Warmed-up daemons (the default) have
-    # compiled every bucket before traffic, so this grace never applies
-    # to them in practice.
+    # While the predictor's bucket ladder is still COLD anywhere, waits
+    # and the wedge check use this floor instead of request_timeout: a
+    # cold bucket's first forward legitimately contains a whole-model
+    # XLA compile (every bucket compiles separately under --no-warmup),
+    # which can far exceed a 30 s request budget — timing it out would
+    # 503 the request, flip /healthz to "wedged", and put a
+    # restart-supervised daemon into a permanent compile -> kill ->
+    # compile loop (the persistent cache only fills AFTER a compile
+    # completes).  Warmed-up daemons (the default) start with the whole
+    # ladder compiled, so wedge detection runs at the plain timeout from
+    # the very first request.
     FIRST_FORWARD_GRACE_S = 600.0
 
     def __init__(self, predictor, max_batch: int = 64,
@@ -269,13 +270,31 @@ class DynamicBatcher:
         return results
 
     def _effective_timeout(self) -> Optional[float]:
-        """request_timeout, floored to the first-forward grace until one
-        forward has completed (see FIRST_FORWARD_GRACE_S)."""
+        """request_timeout, floored to the compile grace while a long
+        forward could legitimately be compiling (FIRST_FORWARD_GRACE_S)."""
         if not self.request_timeout:
             return None
-        if self.last_forward_age() is None:
+        if self._maybe_compiling():
             return max(self.request_timeout, self.FIRST_FORWARD_GRACE_S)
         return self.request_timeout
+
+    def _maybe_compiling(self) -> bool:
+        """Could a long in-flight forward legitimately be an XLA compile?
+
+        Ground truth is the predictor's warm-bucket ladder
+        (:meth:`OpenSetPredictor.buckets_compiled_up_to`): any cold
+        bucket up to ``max_batch`` means the next forward may compile
+        (--no-warmup daemons compile once PER BUCKET, not just on the
+        first request), while a fully warm ladder — the default, warmup
+        runs before traffic — cannot compile, so wedge detection gets
+        the plain timeout from request 1.  Predictor objects without
+        bucket tracking fall back to "until the first successful
+        forward".
+        """
+        check = getattr(self._predictor, "buckets_compiled_up_to", None)
+        if check is not None:
+            return not check(self.max_batch)
+        return self.last_forward_age() is None
 
     # -- liveness (read by /healthz) ----------------------------------------
     def queue_depth(self) -> int:
@@ -290,7 +309,11 @@ class DynamicBatcher:
             return time.monotonic() - self._forward_started
 
     def last_forward_age(self) -> Optional[float]:
-        """Seconds since the last completed forward; None before any."""
+        """Seconds since the last SUCCESSFUL forward; None before any.
+        (Thread liveness is tracked by :meth:`forward_age`; this feeds
+        the compile-grace fallback and the healthz diagnostics, where a
+        fast-failing batch must not count as proof of a completed
+        compile.)"""
         with self._health_lock:
             if self._last_forward_done is None:
                 return None
@@ -301,9 +324,14 @@ class DynamicBatcher:
         forward has been running longer than the effective timeout (the
         first forward gets the compile grace) — an idle daemon (no
         traffic) is always healthy."""
+        # Budget BEFORE forward age: if the in-flight (grace-covered)
+        # forward completes between the two reads, fwd comes back None
+        # and wedged stays false — sampling fwd first could pair a
+        # mid-compile age with the post-compile plain budget and report
+        # a spurious wedge.
+        budget = self._effective_timeout()
         fwd = self.forward_age()
         last = self.last_forward_age()
-        budget = self._effective_timeout()
         wedged = bool(budget and fwd is not None and fwd > budget)
         return {"queue_depth": self.queue_depth(),
                 "inflight_forward_s": round(fwd, 3) if fwd is not None
@@ -390,10 +418,15 @@ class DynamicBatcher:
                     p.error = exc
             else:
                 self.stats.count_batch(len(batch))
+                # Success-only: a batch that errored out FAST (decode
+                # shape mismatch, transient device error) has not proven
+                # a compile happened — the fallback compile-grace
+                # heuristic must not be consumed by it.
+                with self._health_lock:
+                    self._last_forward_done = time.monotonic()
             finally:
                 with self._health_lock:
                     self._forward_started = None
-                    self._last_forward_done = time.monotonic()
                 for p in batch:
                     p.event.set()
 

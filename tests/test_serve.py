@@ -505,6 +505,66 @@ def test_first_forward_gets_compile_grace(monkeypatch):
         b.close()
 
 
+def test_compile_grace_tracks_the_bucket_ladder():
+    """The grace predicate is the predictor's warm-bucket ladder, not
+    "first forward only": a --no-warmup daemon compiles once PER BUCKET,
+    so the grace must survive earlier completed forwards while any
+    bucket is cold, and a fully-warmed ladder (the default daemon) gets
+    plain-timeout wedge detection from request 1."""
+    from openset_imagenet_tpu.serve import DynamicBatcher
+
+    class Ladder:
+        warm = False
+
+        def buckets_compiled_up_to(self, max_batch):
+            return Ladder.warm
+
+        def predict(self, images, return_features=False):
+            n = len(images)
+            return (np.zeros(n, int), np.ones(n, np.float32),
+                    np.zeros((n, 2), np.float32))
+
+    b = DynamicBatcher(Ladder(), max_batch=8, window_ms=0.0,
+                       request_timeout_s=0.3)
+    try:
+        assert b._effective_timeout() == b.FIRST_FORWARD_GRACE_S
+        # A completed forward does NOT consume the grace while the
+        # ladder stays cold (later buckets still compile).
+        b.submit_many([np.zeros((8, 8, 3), np.uint8)])
+        assert b._effective_timeout() == b.FIRST_FORWARD_GRACE_S
+        # Ladder warm -> plain timeout, regardless of forward history.
+        Ladder.warm = True
+        assert b._effective_timeout() == 0.3
+    finally:
+        b.close()
+
+
+def test_warmed_predictor_reports_ladder_compiled(predictor):
+    """The real predictor's bucket tracking: cold at construction, warm
+    after warmup(max_batch) — the serving daemon's default path gets
+    immediate wedge detection."""
+    import copy
+
+    p = copy.copy(predictor)
+    p._warm_buckets = set()
+    assert not p.buckets_compiled_up_to(8)
+    p.warmup(8)
+    assert p.buckets_compiled_up_to(8)
+    # ... but a larger, never-compiled bucket still reads cold.
+    assert not p.buckets_compiled_up_to(64)
+    # A plain predict() records its own bucket, but the LADDER check
+    # stays cold while any smaller bucket is uncompiled — a later
+    # single-image request would still compile bucket 1, so the daemon
+    # must keep the grace.
+    p2 = copy.copy(predictor)
+    p2._warm_buckets = set()
+    p2.predict(np.zeros((2, 32, 32, 3), np.uint8))
+    assert 2 in p2._warm_buckets
+    assert not p2.buckets_compiled_up_to(2)
+    p2.predict(np.zeros((1, 32, 32, 3), np.uint8))
+    assert p2.buckets_compiled_up_to(2)
+
+
 def test_request_timeout_zero_waits_forever():
     """request_timeout_s=0/None keeps the pre-round-5 unbounded wait
     (opt-in): a slow forward completes and the request succeeds."""
